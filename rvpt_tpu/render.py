@@ -1,0 +1,115 @@
+"""Top-level frame rendering: the jitted analog of the reference's compute
+megakernel dispatch (assets/shaders/compute_pass.comp:121-167 +
+src/rvpt/rvpt.cpp:1005-1039).
+
+One call renders the full film: pixel-grid generation, per-sample jitter,
+camera ray generation, integrator evaluation (with the reference's
+split-screen up-to-4-way comparison), AA averaging, and the temporal EMA
+update — all one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import FilmConfig, RenderSettings
+from .core import rng
+from .models import camera as camera_mod
+from .models.integrators import AA_STRIDE, eval_integrator
+from .ops import film as film_ops
+
+_JITTER_SITE = 0
+_INTEGRATOR_SITE = 16
+
+
+def _pixel_grid(cfg: FilmConfig):
+    """Flat pixel ids and integer coords; id = x + y*W matches the reference's
+    seeding index (assets/shaders/util.glsl:35) so RNG streams are stable
+    under any sharding of the film."""
+    ys, xs = jnp.meshgrid(
+        jnp.arange(cfg.height, dtype=jnp.uint32),
+        jnp.arange(cfg.width, dtype=jnp.uint32),
+        indexing="ij",
+    )
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    pixel = xs + ys * jnp.uint32(cfg.width)
+    return pixel, xs, ys
+
+
+def _mode_masks(settings: RenderSettings, xs, ys, cfg: FilmConfig):
+    """Split-screen quadrant selection (compute_pass.comp:134-144)."""
+    sx, sy = settings.split_ratio
+    px = xs.astype(jnp.float32) / cfg.width
+    py = ys.astype(jnp.float32) / cfg.height
+    bottom = py > sy
+    right_t = px > sx
+    right_b = ~(px < sx)
+    tl, tr, bl, br = settings.modes()
+    mode_of_pixel = jnp.where(
+        bottom,
+        jnp.where(right_b, br, bl),
+        jnp.where(right_t, tr, tl),
+    )
+    return mode_of_pixel
+
+
+def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):
+    """Render one frame's sample image f32[H,W,3] (pre-accumulation).
+
+    ``frame`` is a traced u32 — it seeds the stateless RNG exactly as the
+    reference seeds per-pixel xorshift with wang_hash(pixel)+frame
+    (util.glsl:35-36), so frame-to-frame samples decorrelate and a film reset
+    replays the same sequence.
+    """
+    pixel, xs, ys = _pixel_grid(cfg)
+    frame = jnp.asarray(frame, jnp.uint32)
+    inv_w = 1.0 / cfg.width
+    inv_h = 1.0 / cfg.height
+
+    unique_modes = sorted(set(settings.modes()))
+
+    sampled = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    for i in range(settings.aa):
+        salt0 = jnp.uint32(i * AA_STRIDE)
+        ju, jv = rng.uniform2(pixel, frame, salt0 + _JITTER_SITE)
+        # Jittered film coordinates, y flipped (compute_pass.comp:153-154).
+        cx = (xs.astype(jnp.float32) + ju) * inv_w
+        cy = 1.0 - (ys.astype(jnp.float32) + jv) * inv_h
+        ray = camera_mod.generate_rays(camera, cx, cy)
+
+        salt_base = salt0 + _INTEGRATOR_SITE
+        if len(unique_modes) == 1:
+            col = eval_integrator(
+                unique_modes[0], scene, ray, pixel, frame, settings, salt_base
+            )
+        else:
+            mode_of_pixel = _mode_masks(settings, xs, ys, cfg)
+            col = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+            for m in unique_modes:
+                cm = eval_integrator(m, scene, ray, pixel, frame, settings, salt_base)
+                col = jnp.where((mode_of_pixel == m)[:, None], cm, col)
+        sampled = sampled + col
+
+    sampled = sampled / settings.aa
+    return sampled.reshape(cfg.height, cfg.width, 3)
+
+
+def render_frame(scene, camera, settings: RenderSettings, cfg: FilmConfig,
+                 film: film_ops.Film, dirty):
+    """Sample + temporal EMA accumulate; returns (new_film, display_image)."""
+    frame = jnp.where(jnp.asarray(dirty), jnp.uint32(0), film.frame)
+    sample = render_sample(scene, camera, settings, cfg, frame)
+    new_film = film_ops.accumulate(film, sample, dirty)
+    return new_film, new_film.accum
+
+
+@partial(jax.jit, static_argnames=("settings", "cfg"), donate_argnames=("film",))
+def render_frame_jit(scene, camera, settings, cfg, film, dirty):
+    """Jitted steady-state frame step.  ``film`` is donated — the accumulation
+    buffer is updated in place on device, the analog of the reference's
+    per-frame ring of storage images (rvpt.h:193-215)."""
+    return render_frame(scene, camera, settings, cfg, film, dirty)
