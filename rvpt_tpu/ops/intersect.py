@@ -321,7 +321,7 @@ def closest_hit_scene(scene: Scene, ray: Ray, mint, maxt, tri_chunk: int = 2048)
     if scene.bvh is not None and scene.num_triangles > 0:
         from . import traverse
 
-        t_tri, i_tri = traverse.closest_hit_bvh(scene.bvh, o, d, mint, maxt)
+        t_tri, i_tri = traverse.closest_hit_bvh(scene, scene.bvh, o, d, mint, maxt)
     else:
         t_tri, i_tri = closest_hit_triangles(
             o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2, mint, maxt, tri_chunk

@@ -57,24 +57,36 @@ def _mode_masks(settings: RenderSettings, xs, ys, cfg: FilmConfig):
     return mode_of_pixel
 
 
-def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):
-    """Render one frame's sample image f32[H,W,3] (pre-accumulation).
+def render_pixels(
+    scene,
+    camera,
+    settings: RenderSettings,
+    cfg: FilmConfig,
+    frame,
+    pixel,
+    xs,
+    ys,
+    aa_offset=0,
+):
+    """Render an arbitrary batch of pixels -> f32[n,3] samples.
 
-    ``frame`` is a traced u32 — it seeds the stateless RNG exactly as the
-    reference seeds per-pixel xorshift with wang_hash(pixel)+frame
-    (util.glsl:35-36), so frame-to-frame samples decorrelate and a film reset
-    replays the same sequence.
+    This is the shard-local work unit: callers hand in (pixel ids, x, y)
+    arrays — the full film (render_sample) or one tile of it
+    (parallel.sharded) — and RNG streams depend only on the *global* pixel id,
+    so any sharding produces bit-identical images.  ``aa_offset`` offsets the
+    AA sample index (used to decorrelate spp-parallel ranks).
     """
-    pixel, xs, ys = _pixel_grid(cfg)
     frame = jnp.asarray(frame, jnp.uint32)
     inv_w = 1.0 / cfg.width
     inv_h = 1.0 / cfg.height
-
     unique_modes = sorted(set(settings.modes()))
+    n = pixel.shape[0]
 
-    sampled = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    sampled = jnp.zeros((n, 3), jnp.float32)
     for i in range(settings.aa):
-        salt0 = jnp.uint32(i * AA_STRIDE)
+        salt0 = (jnp.uint32(i) + jnp.asarray(aa_offset, jnp.uint32)) * jnp.uint32(
+            AA_STRIDE
+        )
         ju, jv = rng.uniform2(pixel, frame, salt0 + _JITTER_SITE)
         # Jittered film coordinates, y flipped (compute_pass.comp:153-154).
         cx = (xs.astype(jnp.float32) + ju) * inv_w
@@ -88,13 +100,25 @@ def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, fram
             )
         else:
             mode_of_pixel = _mode_masks(settings, xs, ys, cfg)
-            col = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+            col = jnp.zeros((n, 3), jnp.float32)
             for m in unique_modes:
                 cm = eval_integrator(m, scene, ray, pixel, frame, settings, salt_base)
                 col = jnp.where((mode_of_pixel == m)[:, None], cm, col)
         sampled = sampled + col
 
-    sampled = sampled / settings.aa
+    return sampled / settings.aa
+
+
+def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):
+    """Render one frame's sample image f32[H,W,3] (pre-accumulation).
+
+    ``frame`` is a traced u32 — it seeds the stateless RNG exactly as the
+    reference seeds per-pixel xorshift with wang_hash(pixel)+frame
+    (util.glsl:35-36), so frame-to-frame samples decorrelate and a film reset
+    replays the same sequence.
+    """
+    pixel, xs, ys = _pixel_grid(cfg)
+    sampled = render_pixels(scene, camera, settings, cfg, frame, pixel, xs, ys)
     return sampled.reshape(cfg.height, cfg.width, 3)
 
 
