@@ -144,6 +144,19 @@ def integrator_ao(scene, ray, pixel, frame, settings, salt_base=0):
 # ---------------------------------------------------------------------------
 
 
+def _remat(step):
+    """Rematerialize each bounce in the backward pass.
+
+    Reverse-mode through the bounce scan would otherwise store every
+    intermediate of every bounce (the [rays, prims] search tiles included) —
+    at 1080p that exceeds HBM.  Checkpointing stores only the per-bounce
+    carry (~a dozen [N] arrays) and recomputes the rest: the classic
+    FLOPs-for-memory trade, and the bounce recompute is exactly one extra
+    forward intersect per bounce.
+    """
+    return jax.checkpoint(step, prevent_cse=False)
+
+
 def _bounce_rands(pixel, frame, salt_base, bounce):
     salt = salt_base + bounce * BOUNCE_STRIDE
     return rng.uniform3(pixel, frame, salt)
@@ -185,7 +198,7 @@ def integrator_kajiya(scene, ray, pixel, frame, settings, salt_base=0):
         jnp.zeros((n, 3), jnp.float32),
     )
     (o, d, col, thr, active, result), _ = jax.lax.scan(
-        step, init, jnp.arange(nbounce, dtype=jnp.uint32)
+        _remat(step), init, jnp.arange(nbounce, dtype=jnp.uint32)
     )
     if settings.style == "standard":
         result = result + jnp.where(active[:, None], col, 0.0)
@@ -243,7 +256,7 @@ def integrator_whitted(scene, ray, pixel, frame, settings, salt_base=0):
         jnp.zeros((n, 3), jnp.float32),
     )
     (_, _, col, _, active, result), _ = jax.lax.scan(
-        step, init, jnp.arange(nbounce, dtype=jnp.uint32)
+        _remat(step), init, jnp.arange(nbounce, dtype=jnp.uint32)
     )
     if settings.style == "standard":
         result = result + jnp.where(active[:, None], col, 0.0)
@@ -300,7 +313,7 @@ def integrator_cook(scene, ray, pixel, frame, settings, salt_base=0):
         jnp.zeros((n, 3), jnp.float32),
     )
     (o, d, col, thr, active, final, result), _ = jax.lax.scan(
-        step, init, jnp.arange(nbounce, dtype=jnp.uint32)
+        _remat(step), init, jnp.arange(nbounce, dtype=jnp.uint32)
     )
     # The reference performs the Lambert follow-up intersection inside the same
     # loop iteration, so a Lambert scatter on the last bounce still resolves.

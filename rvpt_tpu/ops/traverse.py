@@ -8,6 +8,10 @@ whole batch converges (the SIMT execution model made explicit).  Leaf
 primitive loops run as a masked fixed-trip loop over the builder's maximum
 leaf size (2-8 prims, bvh_builder.h:45-50).
 
+All node ids / stack entries are int32 with sentinel -1 (the reference uses
+u32 with ~0, intersection.glsl:371; int32 avoids cross-backend unsigned
+promotion hazards).
+
 This path exists for *correctness parity* and large scenes; for small/medium
 scenes the matmul-shaped brute force (ops.intersect) is usually faster on TPU
 because it has zero divergence.  ``closest_hit_bvh`` matches
@@ -22,7 +26,7 @@ import jax.numpy as jnp
 from .intersect import INF, _safe_div, triangle_isect_single
 
 STACK_DEPTH = 64  # reference: intersection.glsl:363
-SENTINEL = jnp.uint32(0xFFFFFFFF)  # the reference's ~0 bottom-of-stack marker
+SENTINEL = jnp.int32(-1)  # bottom-of-stack marker (reference uses ~0)
 
 
 def closest_hit_bvh(scene, bvh, origin, direction, mint, maxt):
@@ -33,8 +37,13 @@ def closest_hit_bvh(scene, bvh, origin, direction, mint, maxt):
     mint = jnp.float32(mint)
     maxt = jnp.float32(maxt)
     max_leaf = int(bvh.max_leaf)
+    n_tri = scene.tri_v0.shape[0]
+
+    node_first = bvh.first.astype(jnp.int32)
+    node_count = bvh.count.astype(jnp.int32)
 
     inv_d = _safe_div(jnp.float32(1.0), direction)  # [N,3], reused every node
+    lane = jnp.arange(n)
 
     def aabb_hit(bmin, bmax, t_best):
         f = (bmax - origin) * inv_d
@@ -44,14 +53,14 @@ def closest_hit_bvh(scene, bvh, origin, direction, mint, maxt):
         return jnp.minimum(t1, t_best) >= jnp.maximum(t0, mint)
 
     def cond(state):
-        node, *_ , done = state
+        done = state[-1]
         return ~jnp.all(done)
 
     def body(state):
         node, stack, ptr, t_best, i_best, done = state
-        nsafe = jnp.where(done, 0, node).astype(jnp.int32)
-        first = bvh.first[nsafe]
-        count = bvh.count[nsafe]
+        nsafe = jnp.clip(node, 0, node_first.shape[0] - 1)
+        first = node_first[nsafe]
+        count = node_count[nsafe]
         bmin = bvh.bmin[nsafe]
         bmax = bvh.bmax[nsafe]
 
@@ -61,10 +70,8 @@ def closest_hit_bvh(scene, bvh, origin, direction, mint, maxt):
         # --- leaf: masked fixed-trip loop over the leaf's triangles.
         def leaf_body(k, carry):
             t_b, i_b = carry
-            tri = jnp.minimum(
-                first + k, jnp.uint32(scene.tri_v0.shape[0] - 1)
-            ).astype(jnp.int32)
-            lane = box_hit & is_leaf & (k < count)
+            tri = jnp.clip(first + k, 0, n_tri - 1)
+            active = box_hit & is_leaf & (k < count)
             t, u, v, _ = triangle_isect_single(
                 origin,
                 direction,
@@ -73,7 +80,7 @@ def closest_hit_bvh(scene, bvh, origin, direction, mint, maxt):
                 scene.tri_v2[tri],
             )
             valid = (
-                lane
+                active
                 & (mint < t)
                 & (t < jnp.minimum(t_b, maxt))
                 & (u > 0.0)
@@ -84,31 +91,26 @@ def closest_hit_bvh(scene, bvh, origin, direction, mint, maxt):
             i_b = jnp.where(valid, tri, i_b)
             return t_b, i_b
 
-        t_best, i_best = jax.lax.fori_loop(
-            0, max_leaf, leaf_body, (t_best, i_best)
-        )
+        t_best, i_best = jax.lax.fori_loop(0, max_leaf, leaf_body, (t_best, i_best))
 
         # --- interior hit: descend into left child, push the right sibling.
         descend = box_hit & ~is_leaf
-        new_stack = jnp.where(
-            descend[:, None],
-            stack.at[jnp.arange(n), ptr].set(first + 1).astype(jnp.uint32),
-            stack,
-        )
+        push_val = jnp.where(descend, first + 1, stack[lane, jnp.clip(ptr, 0, STACK_DEPTH - 1)])
+        new_stack = stack.at[lane, jnp.clip(ptr, 0, STACK_DEPTH - 1)].set(push_val)
         new_ptr = jnp.where(descend, ptr + 1, ptr)
 
         # --- miss or finished leaf: pop.
         pop = ~done & ~descend
         pop_ptr = jnp.maximum(new_ptr - 1, 0)
-        popped = new_stack[jnp.arange(n), pop_ptr]
+        popped = new_stack[lane, pop_ptr]
         node = jnp.where(descend, first, jnp.where(pop, popped, node))
         new_ptr = jnp.where(pop, pop_ptr, new_ptr)
         done = done | (pop & (popped == SENTINEL))
         return node, new_stack, new_ptr, t_best, i_best, done
 
-    stack = jnp.full((n, STACK_DEPTH), SENTINEL, jnp.uint32)
+    stack = jnp.full((n, STACK_DEPTH), SENTINEL, jnp.int32)
     state = (
-        jnp.zeros((n,), jnp.uint32),  # current node = root
+        jnp.zeros((n,), jnp.int32),  # current node = root
         stack,
         jnp.ones((n,), jnp.int32),  # ptr = 1: slot 0 holds the sentinel
         jnp.full((n,), INF),

@@ -1,0 +1,182 @@
+"""Renderer orchestration: the engine object.
+
+TPU-native re-design of class ``RVPT`` (src/rvpt/rvpt.h:35-229,
+rvpt.cpp:31-1054).  Owns the scene pytree, camera, render settings, and the
+temporal film; implements the per-frame dirty check that resets accumulation
+on any camera/settings change (rvpt.cpp:21-29, 102-111); exposes
+reload (re-jit, the analog of reload_shaders), debug views, checkpoints, and
+frame statistics.  Everything Vulkan in the reference — queues, descriptor
+sets, pipelines, barriers — is jit + XLA here and needs no counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FilmConfig, RenderSettings
+from .models.camera import Camera
+from .ops.film import Film, to_srgb_u8
+from .render import render_frame_jit
+from .scene.bvh import BvhHost, attach_bvh, build_bvh, triangle_bounds
+from .scene.scene import Scene
+from .utils import checkpoint as ckpt
+from .utils.image import write_png
+from .utils.timer import FrameTimer
+
+
+def _state_fingerprint(camera: Camera, settings: RenderSettings):
+    """The 'previous frame state' equality check (rvpt.cpp:21-29): any change
+    here restarts temporal accumulation."""
+    return (
+        tuple(np.asarray(camera.translation).tolist()),
+        tuple(np.asarray(camera.rotation).tolist()),
+        float(camera.fov),
+        float(camera.scale),
+        camera.mode,
+        camera.aspect,
+        settings,
+    )
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: Scene,
+        camera: Camera,
+        settings: RenderSettings | None = None,
+        film: FilmConfig | None = None,
+        use_bvh: bool = False,
+        mesh=None,
+    ) -> None:
+        self.settings = settings or RenderSettings()
+        self.film_cfg = film or FilmConfig()
+        self.scene = attach_bvh(scene) if use_bvh else scene
+        self.camera = camera
+        self.mesh = mesh
+        self.film = Film.create(self.film_cfg.height, self.film_cfg.width)
+        self.timer = FrameTimer()
+        self._prev_state = None
+        self._host_bvh: Optional[BvhHost] = None
+        self._image = None
+
+    # ------------------------------------------------------------------ scene
+    def set_scene(self, scene: Scene, use_bvh: bool = False) -> None:
+        self.scene = attach_bvh(scene) if use_bvh else scene
+        self._prev_state = None  # force accumulation reset
+        self._host_bvh = None
+
+    def update_camera(self, **kw) -> None:
+        """Mutate camera fields (translation/rotation/fov/scale); the dirty
+        check will notice and reset accumulation."""
+        self.camera = dataclasses.replace(
+            self.camera,
+            **{
+                k: (jnp.asarray(v, jnp.float32) if k != "mode" else v)
+                for k, v in kw.items()
+            },
+        )
+
+    # ------------------------------------------------------------------ frame
+    def draw(self):
+        """Render one frame: dirty-check -> jitted sample+EMA -> stats.
+        Returns the accumulated image (f32[H,W,3], device array)."""
+        state = _state_fingerprint(self.camera, self.settings)
+        dirty = state != self._prev_state
+        self._prev_state = state
+
+        self.timer.frame_start()
+        if self.mesh is not None:
+            from .parallel.sharded import render_frame_sharded
+
+            self.film, image = jax.jit(
+                render_frame_sharded, static_argnames=("settings", "cfg", "mesh")
+            )(self.scene, self.camera, self.settings, self.film_cfg, self.film,
+              dirty, self.mesh)
+        else:
+            self.film, image = render_frame_jit(
+                self.scene, self.camera, self.settings, self.film_cfg,
+                self.film, dirty,
+            )
+        image.block_until_ready()
+        self.timer.frame_stop()
+        self._image = image
+        return image
+
+    @property
+    def rays_per_frame(self) -> int:
+        return (
+            self.film_cfg.num_pixels * self.settings.aa * self.settings.max_bounces
+        )
+
+    def stats(self) -> dict:
+        s = self.timer.stats(self.rays_per_frame)
+        s["accumulated_frames"] = int(self.film.frame)
+        return s
+
+    # ------------------------------------------------------------- hot reload
+    def reload(self) -> list[str]:
+        """Source-watch re-jit — the analog of RVPT::reload_shaders
+        (rvpt.cpp:444-468)."""
+        from .utils.hot_reload import SourceWatcher
+
+        if not hasattr(self, "_watcher"):
+            self._watcher = SourceWatcher()
+            return []
+        return self._watcher.reload_if_changed()
+
+    # ------------------------------------------------------------ debug views
+    def host_bvh(self) -> BvhHost:
+        if self._host_bvh is None:
+            v0 = np.asarray(self.scene.tri_v0)
+            if len(v0) == 0:
+                raise ValueError("scene has no triangles to build a BVH over")
+            centers, bmin, bmax = triangle_bounds(
+                v0, np.asarray(self.scene.tri_v1), np.asarray(self.scene.tri_v2)
+            )
+            self._host_bvh = build_bvh(centers, bmin, bmax)
+        return self._host_bvh
+
+    def debug_view(self, kind: str = "triangles", **kw) -> np.ndarray:
+        """'triangles' wireframe overlay or 'bvh' AABB-by-depth overlay on the
+        last rendered frame (reference debug raster + BVH views)."""
+        from .utils import debug_draw
+
+        base = np.asarray(self._image) if self._image is not None else np.zeros(
+            (self.film_cfg.height, self.film_cfg.width, 3), np.float32
+        )
+        if kind == "triangles":
+            return debug_draw.overlay_triangles(base, self.scene, self.camera, **kw)
+        if kind == "bvh":
+            return debug_draw.overlay_bvh(base, self.host_bvh(), self.camera, **kw)
+        raise ValueError(f"unknown debug view {kind!r}")
+
+    # ------------------------------------------------------------ persistence
+    def save_image(self, path: str) -> None:
+        if self._image is None:
+            self.draw()
+        write_png(path, np.asarray(to_srgb_u8(self._image)))
+
+    def save_checkpoint(self, path: str) -> None:
+        ckpt.save(
+            path,
+            {"film": self.film, "camera": self.camera, "scene": self.scene},
+            meta={"settings": self.settings.to_json()},
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        tree, meta = ckpt.load(
+            path, {"film": self.film, "camera": self.camera, "scene": self.scene}
+        )
+        self.film = tree["film"]
+        self.camera = tree["camera"]
+        self.scene = tree["scene"]
+        if meta.get("settings"):
+            self.settings = RenderSettings.from_json(meta["settings"])
+        # resuming continues accumulation: mark state clean
+        self._prev_state = _state_fingerprint(self.camera, self.settings)
