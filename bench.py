@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 def main() -> None:
     from rvpt_tpu import FilmConfig, RenderSettings
-    from rvpt_tpu.render import render_sample
+    from rvpt_tpu.render import render_sample_chw
     from rvpt_tpu.scene import builtin
     from rvpt_tpu.train.inverse import apply_params, trainable_params
 
@@ -38,7 +38,7 @@ def main() -> None:
 
     def loss_fn(params, frame):
         s = apply_params(scene, params)
-        img = render_sample(s, camera, settings, cfg, frame)
+        img = render_sample_chw(s, camera, settings, cfg, frame)
         return jnp.mean(img)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))

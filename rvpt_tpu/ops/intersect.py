@@ -3,17 +3,15 @@
 TPU-first redesign of the reference's per-ray GLSL intersection library
 (assets/shaders/intersection.glsl:133-357).  Instead of one ray against one
 primitive inside a divergent loop, every test is phrased over a
-``[rays, prims]`` tile built from *matrix products* of ray component arrays
-against primitive component arrays:
-
-    d.n   = D[N,3] @ N[T,3]^T        (one skinny matmul on the MXU)
-    o.e0  = O[N,3] @ E0[T,3]^T       ...
-
-so the metric-tensor triangle test (reference: intersection.glsl:267-323)
-becomes six [N,3]x[3,T] matmuls plus VPU elementwise combine and a masked
-min-reduction.  Large scenes stream triangle chunks through a ``lax.scan``
-with a running (t, index) carry, which keeps peak memory at
-``[ray_tile, tri_chunk]`` instead of ``[N, T]``.
+``[rays, prims]`` tile built from outer-product component broadcasts
+(``d.n = dx*nx' + dy*ny' + dz*nz'``), so the metric-tensor triangle test
+(reference: intersection.glsl:267-323) becomes pure VPU elementwise work
+feeding a masked min-reduction — XLA fuses the whole tile so nothing
+[N, T]-sized persists.  (A [N,3]x[3,T] MXU matmul formulation was measured
+and rejected: TPU tiling pads the 3-wide axis to 128, a 42.7x memory
+blowup on the operand/residual buffers.)  Large scenes stream triangle
+chunks through a ``lax.scan`` with a running (t, index) carry, which keeps
+peak memory at ``[ray_tile, tri_chunk]`` instead of ``[N, T]``.
 
 Differentiability: the winning primitive index is discrete and detached; the
 differentiable intersection record is *recomputed* for the selected primitive
@@ -32,6 +30,22 @@ from ..core.math import cross, vdot
 from ..core.types import Isect, Ray
 from ..scene import materials as mat_mod
 from ..scene.scene import Scene
+
+def _pdot(a, b):
+    """Pairwise dot of [N,3] rays against [T,3] primitive vectors -> [N,T].
+
+    Deliberately NOT a matmul: a [N,3]x[3,T] dot_general forces the [N,3]
+    operand into the TPU's (8,128) tile layout, padding the 3-wide axis to
+    128 — a 42.7x memory blowup observed in practice at 1080p.  The
+    component-broadcast form keeps inputs as unpadded [N]/[T] vectors and
+    fuses into the downstream [N,T] elementwise work on the VPU, and rounds
+    identically to the Pallas kernel (same fma chain).
+    """
+    return (
+        a[:, 0:1] * b[None, :, 0]
+        + a[:, 1:2] * b[None, :, 1]
+        + a[:, 2:3] * b[None, :, 2]
+    )
 
 INF = jnp.float32(jnp.inf)
 
@@ -90,13 +104,12 @@ def _tri_block_tuv(o, d, v0, pre):
     o, d: f32[N,3]; v0: f32[T,3]; pre: triangle_precompute output over [T].
     Returns f32[N,T] t, u, v.  All pairwise dots are [N,3]@[3,T] matmuls.
     """
-    f32 = jnp.float32
-    dn = jnp.dot(d, pre["n"].T, preferred_element_type=f32)  # [N,T]
-    on = jnp.dot(o, pre["n"].T, preferred_element_type=f32)
-    de0 = jnp.dot(d, pre["e0"].T, preferred_element_type=f32)
-    de1 = jnp.dot(d, pre["e1"].T, preferred_element_type=f32)
-    oe0 = jnp.dot(o, pre["e0"].T, preferred_element_type=f32)
-    oe1 = jnp.dot(o, pre["e1"].T, preferred_element_type=f32)
+    dn = _pdot(d, pre["n"])  # [N,T]
+    on = _pdot(o, pre["n"])
+    de0 = _pdot(d, pre["e0"])
+    de1 = _pdot(d, pre["e1"])
+    oe0 = _pdot(o, pre["e0"])
+    oe1 = _pdot(o, pre["e1"])
 
     t = _safe_div(pre["v0n"][None, :] - on, dn)
     # p0 . e_k  where p0 = o + t d - v0, expanded so no [N,T,3] appears.
@@ -220,9 +233,8 @@ def closest_hit_spheres(origin, direction, center, radius, mint, maxt):
     mint = jnp.float32(mint)
     maxt = jnp.float32(maxt)
 
-    f32 = jnp.float32
-    oc_c = jnp.dot(origin, center.T, preferred_element_type=f32)  # o.c [N,S]
-    d_c = jnp.dot(direction, center.T, preferred_element_type=f32)  # d.c [N,S]
+    oc_c = _pdot(origin, center)  # o.c [N,S]
+    d_c = _pdot(direction, center)  # d.c [N,S]
     oo = vdot(origin, origin)[:, None]
     dd = vdot(direction, direction)[:, None]
     cc = vdot(center, center)[None, :]
@@ -271,9 +283,8 @@ def closest_hit_planes(origin, direction, normal, d_off, mint, maxt):
         return jnp.full((n,), INF), jnp.full((n,), -1, jnp.int32)
     mint = jnp.float32(mint)
     maxt = jnp.float32(maxt)
-    f32 = jnp.float32
-    on = jnp.dot(origin, normal.T, preferred_element_type=f32)
-    dn = jnp.dot(direction, normal.T, preferred_element_type=f32)
+    on = _pdot(origin, normal)
+    dn = _pdot(direction, normal)
     t = _safe_div(d_off[None, :] - on, dn)
     t = jnp.where((t > mint) & (t < maxt), t, INF)
     col = jnp.argmin(t, axis=1)
@@ -311,6 +322,31 @@ def intersect_aabb(origin, direction, box_min, box_max, mint, maxt):
 # ---------------------------------------------------------------------------
 
 
+# Triangle search backend: 'auto' uses the fused Pallas kernel on TPU for
+# scenes past a size threshold, XLA otherwise.  set_backend overrides.
+_BACKEND = "auto"
+_PALLAS_MIN_TRIS = 32
+
+
+def set_backend(name: str) -> None:
+    """'auto' | 'xla' | 'pallas' (module-global, affects new traces)."""
+    global _BACKEND
+    assert name in ("auto", "xla", "pallas"), name
+    _BACKEND = name
+
+
+def _use_pallas(n_tris: int) -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND == "pallas":
+        return True
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu" or backend == "axon" or (
+        jax.devices() and "tpu" in jax.devices()[0].platform.lower()
+    )
+    return bool(on_tpu) and n_tris >= _PALLAS_MIN_TRIS
+
+
 def closest_hit_scene(scene: Scene, ray: Ray, mint, maxt, tri_chunk: int = 2048):
     """Discrete closest-hit search across all primitive families.
 
@@ -322,6 +358,19 @@ def closest_hit_scene(scene: Scene, ray: Ray, mint, maxt, tri_chunk: int = 2048)
         from . import traverse
 
         t_tri, i_tri = traverse.closest_hit_bvh(scene, scene.bvh, o, d, mint, maxt)
+    elif scene.num_triangles > 0 and _use_pallas(scene.num_triangles):
+        from . import intersect_pk
+
+        # Inputs are detached so the non-differentiable kernel never sits on
+        # the tangent path (the differentiable record is rebuilt from the
+        # detached index by isect_from_hit).
+        sg = jax.lax.stop_gradient
+        packed = intersect_pk.pack_triangles(
+            sg(scene.tri_v0), sg(scene.tri_v1), sg(scene.tri_v2)
+        )
+        t_tri, i_tri = intersect_pk.closest_hit_pallas(
+            sg(o), sg(d), packed, mint, maxt
+        )
     else:
         t_tri, i_tri = closest_hit_triangles(
             o, d, scene.tri_v0, scene.tri_v1, scene.tri_v2, mint, maxt, tri_chunk

@@ -48,7 +48,7 @@ def _padded_grid(cfg: FilmConfig, n_tiles: int):
 
 def render_sample_sharded(scene, camera, settings: RenderSettings,
                           cfg: FilmConfig, frame, mesh):
-    """Full-film sample image rendered across the mesh -> f32[H,W,3].
+    """Full-film sample image rendered across the mesh -> f32[3,H,W].
 
     Effective samples per pixel = settings.aa * mesh.shape[spp].
     """
@@ -60,7 +60,7 @@ def render_sample_sharded(scene, camera, settings: RenderSettings,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P(), P(), P()),
-        out_specs=P(TILE_AXIS),
+        out_specs=P(None, TILE_AXIS),
         # The bounce-loop scan carries are initialized from literals; the
         # varying-manual-axes checker would reject them (they only become
         # varying after the first combine with ray data), so use the legacy
@@ -75,11 +75,11 @@ def render_sample_sharded(scene, camera, settings: RenderSettings,
         )
         if n_spp > 1:
             sampled = jax.lax.pmean(sampled, SPP_AXIS)
-        return sampled
+        return sampled.T  # [3, n_local]: channels-first film layout
 
     frame = jnp.asarray(frame, jnp.uint32)
     sampled = tile_render(pixel, xs, ys, scene, camera, frame)
-    return sampled[:n].reshape(cfg.height, cfg.width, 3)
+    return sampled[:, :n].reshape(3, cfg.height, cfg.width)
 
 
 def render_frame_sharded(scene, camera, settings, cfg, film, dirty, mesh):

@@ -109,8 +109,11 @@ def render_pixels(
     return sampled / settings.aa
 
 
-def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):
-    """Render one frame's sample image f32[H,W,3] (pre-accumulation).
+def render_sample_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):
+    """Render one frame's sample image f32[3,H,W] (pre-accumulation).
+
+    Channels-first is the TPU-native film layout (see ops.film docstring);
+    this is the function the film/EMA path and benchmarks use.
 
     ``frame`` is a traced u32 — it seeds the stateless RNG exactly as the
     reference seeds per-pixel xorshift with wang_hash(pixel)+frame
@@ -119,14 +122,19 @@ def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, fram
     """
     pixel, xs, ys = _pixel_grid(cfg)
     sampled = render_pixels(scene, camera, settings, cfg, frame, pixel, xs, ys)
-    return sampled.reshape(cfg.height, cfg.width, 3)
+    return sampled.T.reshape(3, cfg.height, cfg.width)
+
+
+def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):
+    """Render one frame's sample image f32[H,W,3] (display layout)."""
+    return jnp.moveaxis(render_sample_chw(scene, camera, settings, cfg, frame), 0, -1)
 
 
 def render_frame(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                  film: film_ops.Film, dirty):
-    """Sample + temporal EMA accumulate; returns (new_film, display_image)."""
+    """Sample + temporal EMA accumulate; returns (new_film, image f32[3,H,W])."""
     frame = jnp.where(jnp.asarray(dirty), jnp.uint32(0), film.frame)
-    sample = render_sample(scene, camera, settings, cfg, frame)
+    sample = render_sample_chw(scene, camera, settings, cfg, frame)
     new_film = film_ops.accumulate(film, sample, dirty)
     return new_film, new_film.accum
 

@@ -105,8 +105,9 @@ class Renderer:
             )
         image.block_until_ready()
         self.timer.frame_stop()
-        self._image = image
-        return image
+        # display/debug consumers want HWC; the device film stays CHW
+        self._image = np.moveaxis(np.asarray(image), 0, -1)
+        return self._image
 
     @property
     def rays_per_frame(self) -> int:
@@ -160,7 +161,7 @@ class Renderer:
     def save_image(self, path: str) -> None:
         if self._image is None:
             self.draw()
-        write_png(path, np.asarray(to_srgb_u8(self._image)))
+        write_png(path, np.asarray(to_srgb_u8(jnp.asarray(self._image))))
 
     def save_checkpoint(self, path: str) -> None:
         ckpt.save(

@@ -18,7 +18,7 @@ import optax
 
 from ..config import FilmConfig, RenderSettings
 from ..parallel.sharded import render_sample_sharded
-from ..render import render_sample
+from ..render import render_sample_chw
 from ..scene.scene import Scene
 
 
@@ -44,6 +44,7 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                     mesh, target, learning_rate: float = 2e-2):
     """Build (jitted step fn, initial optimizer state) for sharded training.
 
+    ``target`` is channels-first f32[3,H,W] (the film layout).
     step(params, opt_state, frame) -> (params, opt_state, loss); ``frame``
     varies the RNG stream per iteration so Monte-Carlo noise decorrelates
     across optimizer steps (stochastic gradient estimates).
@@ -58,7 +59,7 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
             if mesh is not None:
                 img = render_sample_sharded(s, camera, settings, cfg, frame, mesh)
             else:
-                img = render_sample(s, camera, settings, cfg, frame)
+                img = render_sample_chw(s, camera, settings, cfg, frame)
             return jnp.mean(jnp.square(img - target))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -21,7 +21,7 @@ def test_sharded_matches_single_device():
     cfg = FilmConfig(width=64, height=32)
     st = RenderSettings(max_bounces=3)
     mesh = mesh_mod.make_mesh(8, 1)
-    img_ref = np.asarray(R.render_sample(scene, cam, st, cfg, 0))
+    img_ref = np.asarray(R.render_sample_chw(scene, cam, st, cfg, 0))
     img_sh = np.asarray(render_sample_sharded(scene, cam, st, cfg, 0, mesh))
     assert np.array_equal(img_ref, img_sh)
 
@@ -38,7 +38,7 @@ def test_sharded_2d_mesh_spp():
     pixel, xs, ys = R._pixel_grid(cfg)
     s0 = R.render_pixels(scene, cam, st, cfg, 0, pixel, xs, ys, aa_offset=0)
     s1 = R.render_pixels(scene, cam, st, cfg, 0, pixel, xs, ys, aa_offset=1)
-    expect = np.asarray((s0 + s1) / 2.0).reshape(32, 32, 3)
+    expect = np.asarray((s0 + s1) / 2.0).T.reshape(3, 32, 32)
     assert np.allclose(img_sh, expect, atol=1e-6)
 
 
@@ -49,7 +49,7 @@ def test_sharded_unaligned_film():
     cfg = FilmConfig(width=30, height=10)  # 300 pixels, not divisible by 8
     st = RenderSettings(max_bounces=1)
     mesh = mesh_mod.make_mesh(8, 1)
-    img_ref = np.asarray(R.render_sample(scene, cam, st, cfg, 0))
+    img_ref = np.asarray(R.render_sample_chw(scene, cam, st, cfg, 0))
     img_sh = np.asarray(render_sample_sharded(scene, cam, st, cfg, 0, mesh))
     assert np.array_equal(img_ref, img_sh)
 

@@ -86,7 +86,7 @@ def test_debug_views():
     tri = r.debug_view("triangles")
     assert tri.shape == (32, 48, 3)
     # the overlay must actually draw red wireframe pixels
-    base = np.asarray(r.film.accum)
+    base = np.moveaxis(np.asarray(r.film.accum), 0, -1)
     assert (np.abs(tri - base) > 1e-3).any()
     bvh = r.debug_view("bvh")
     assert bvh.shape == (32, 48, 3)
