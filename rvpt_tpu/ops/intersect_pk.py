@@ -1,22 +1,23 @@
 """Pallas TPU kernel: fused brute-force closest-hit.
 
 The pure-XLA path (ops.intersect) materializes [rays, tris] intermediates in
-HBM between the matmuls and the masked min-reduction.  This kernel fuses the
-whole pairwise test: a tile of rays lives in VMEM registers, the packed
-triangle SoA sits in VMEM, and the [BR, BT] pairwise tile never leaves the
-VPU — the running (t, index) carry is the only per-ray state.  This is the
-TPU re-design of the reference's per-pixel triangle loop
-(assets/shaders/intersection.glsl:708-752 / the BVH leaf loop 387-400).
+HBM between the pairwise math and the masked min-reduction.  This kernel
+fuses the whole test so the pairwise tile never leaves VMEM — the running
+(t, index) carry is the only per-ray state.  TPU re-design of the
+reference's per-pixel triangle loop (assets/shaders/intersection.glsl:708-752
+/ the BVH leaf loop 387-400).
 
-Layout:
-  rays    f32[n_tiles, BR] per component (caller pads N to BR)
-  tris    16 x f32[T_pad] precomputed scalars (pack_triangles), whole array
-          in VMEM (fine up to ~100k tris; HBM streaming is the follow-up)
-  grid    (n_ray_tiles,)
-  inner   fori_loop over T_pad/BT triangle chunks
+Tile layout (VPU-native):
+  pairwise tile  f32[BT, BR]  — triangles on the sublane axis (BT mult of 8),
+                                rays on the lane axis (BR mult of 128)
+  rays           f32[n_tiles, 1, BR] per component; block (1, 1, BR)
+  tris           16 x f32[T_pad, 1] precomputed scalars; whole array in VMEM
+                 (sublane-major so a chunk slice broadcasts as a column)
+  grid           (n_ray_tiles,)
+  inner          fori_loop over T_pad/BT triangle chunks
 
-Outputs (t f32[N], idx i32[N]) exactly matching ops.intersect's brute force
-(same formula, same first-min tie-breaking).
+Outputs (t f32[N], idx i32[N]) match ops.intersect's brute force (same
+formula, same first-min tie-breaking).
 """
 
 from __future__ import annotations
@@ -31,13 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import triangle_precompute
 
-BR = 512  # rays per program instance
-BT = 512  # triangles per inner chunk
+BR = 1024  # rays per program instance (lane axis, multiple of 128)
+BT = 256  # triangles per inner chunk (sublane axis, multiple of 8)
 
 _INF = float("inf")
-_DENOM_EPS = 1e-30  # python floats: jnp scalars would be captured consts in the kernel
+_DENOM_EPS = 1e-30  # python float: jnp scalars would be captured consts
 
-# Packed triangle field order (all f32[T]):
+# Packed triangle field order (all f32[T_pad, 1]):
 FIELDS = (
     "nx", "ny", "nz",
     "e0x", "e0y", "e0z",
@@ -69,7 +70,7 @@ def pack_triangles(v0, v1, v2, chunk: int = BT) -> dict:
         arr = jnp.asarray(fields[k], jnp.float32)
         if pad:
             arr = jnp.concatenate([arr, jnp.zeros((pad,), jnp.float32)])
-        out[k] = arr.reshape(1, -1)  # [1, T_pad]: TPU-friendly 2D layout
+        out[k] = arr.reshape(-1, 1)  # [T_pad, 1]: sublane-major columns
     out["__count__"] = t
     return out
 
@@ -80,77 +81,70 @@ def _kernel(mint, maxt, n_chunks, *refs):
     tri = dict(zip(FIELDS, refs[6:22]))
     t_out, i_out = refs[22], refs[23]
 
-    rox = ox[0, :][:, None]  # [BR,1]
-    roy = oy[0, :][:, None]
-    roz = oz[0, :][:, None]
-    rdx = dx[0, :][:, None]
-    rdy = dy[0, :][:, None]
-    rdz = dz[0, :][:, None]
+    rox = ox[0]  # [1, BR] rows (lane axis)
+    roy = oy[0]
+    roz = oz[0]
+    rdx = dx[0]
+    rdy = dy[0]
+    rdz = dz[0]
 
     def chunk_body(c, carry):
         t_best, i_best = carry
         sl = pl.ds(c * BT, BT)
 
-        nx = tri["nx"][0, sl][None, :]  # [1,BT]
-        ny = tri["ny"][0, sl][None, :]
-        nz = tri["nz"][0, sl][None, :]
-        e0x = tri["e0x"][0, sl][None, :]
-        e0y = tri["e0y"][0, sl][None, :]
-        e0z = tri["e0z"][0, sl][None, :]
-        e1x = tri["e1x"][0, sl][None, :]
-        e1y = tri["e1y"][0, sl][None, :]
-        e1z = tri["e1z"][0, sl][None, :]
+        def col(name):
+            return tri[name][sl, :]  # [BT, 1] column (sublane axis)
 
-        dn = rdx * nx + rdy * ny + rdz * nz  # [BR,BT]
-        on = rox * nx + roy * ny + roz * nz
-        de0 = rdx * e0x + rdy * e0y + rdz * e0z
-        de1 = rdx * e1x + rdy * e1y + rdz * e1z
-        oe0 = rox * e0x + roy * e0y + roz * e0z
-        oe1 = rox * e1x + roy * e1y + roz * e1z
+        nx, ny, nz = col("nx"), col("ny"), col("nz")
+        e0x, e0y, e0z = col("e0x"), col("e0y"), col("e0z")
+        e1x, e1y, e1z = col("e1x"), col("e1y"), col("e1z")
+
+        dn = nx * rdx + ny * rdy + nz * rdz  # [BT, BR]
+        on = nx * rox + ny * roy + nz * roz
+        de0 = e0x * rdx + e0y * rdy + e0z * rdz
+        de1 = e1x * rdx + e1y * rdy + e1z * rdz
+        oe0 = e0x * rox + e0y * roy + e0z * roz
+        oe1 = e1x * rox + e1y * roy + e1z * roz
 
         dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
-        t = (tri["v0n"][0, sl][None, :] - on) / dn_safe
-        b0 = oe0 + t * de0 - tri["v0e0"][0, sl][None, :]
-        b1 = oe1 + t * de1 - tri["v0e1"][0, sl][None, :]
-        g11 = tri["g11"][0, sl][None, :]
-        g01 = tri["g01"][0, sl][None, :]
-        g00 = tri["g00"][0, sl][None, :]
-        inv_det = tri["inv_det"][0, sl][None, :]
-        u = inv_det * (g11 * b0 - g01 * b1)
-        v = inv_det * (g00 * b1 - g01 * b0)
+        t = (col("v0n") - on) / dn_safe
+        b0 = oe0 + t * de0 - col("v0e0")
+        b1 = oe1 + t * de1 - col("v0e1")
+        u = col("inv_det") * (col("g11") * b0 - col("g01") * b1)
+        v = col("inv_det") * (col("g00") * b1 - col("g01") * b0)
 
         valid = (mint < t) & (t < maxt) & (u > 0.0) & (v > 0.0) & (u + v < 1.0)
         t_masked = jnp.where(valid, t, _INF)
 
-        cmin = jnp.min(t_masked, axis=1)  # [BR]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (BR, BT), 1)
+        cmin = jnp.min(t_masked, axis=0, keepdims=True)  # [1, BR]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (BT, BR), 0)
         first = jnp.min(
-            jnp.where(t_masked == cmin[:, None], cols, jnp.int32(2**30)), axis=1
+            jnp.where(t_masked == cmin, rows, jnp.int32(2**30)),
+            axis=0,
+            keepdims=True,
         )
         better = cmin < t_best
         t_best = jnp.where(better, cmin, t_best)
         i_best = jnp.where(better, c * BT + first, i_best)
         return t_best, i_best
 
-    t0 = jnp.full((BR,), _INF)
-    i0 = jnp.full((BR,), -1, jnp.int32)
+    t0 = jnp.full((1, BR), _INF, jnp.float32)
+    i0 = jnp.full((1, BR), -1, jnp.int32)
     t_best, i_best = jax.lax.fori_loop(0, n_chunks, chunk_body, (t0, i0))
-    t_out[0, :] = t_best
-    i_out[0, :] = i_best
+    t_out[0] = t_best
+    i_out[0] = i_best
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mint", "maxt", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("mint", "maxt", "interpret"))
 def _closest_hit_padded(rays6, packed_vals, mint, maxt, interpret):
     n_tiles = rays6[0].shape[0]
-    t_pad = packed_vals[0].shape[1]
+    t_pad = packed_vals[0].shape[0]
     n_chunks = t_pad // BT
 
     kern = functools.partial(_kernel, float(mint), float(maxt), n_chunks)
-    ray_spec = pl.BlockSpec((1, BR), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((1, t_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, BR), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, 1, BR), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((t_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, BR), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
         kern,
@@ -158,8 +152,8 @@ def _closest_hit_padded(rays6, packed_vals, mint, maxt, interpret):
         in_specs=[ray_spec] * 6 + [tri_spec] * 16,
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, BR), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, BR), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, BR), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, BR), jnp.int32),
         ),
         interpret=interpret,
     )(*rays6, *packed_vals)
@@ -179,7 +173,7 @@ def closest_hit_pallas(origin, direction, packed: dict, mint, maxt,
              direction[:, 0], direction[:, 1], direction[:, 2]]
     if pad:
         comps = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]) for c in comps]
-    rays6 = tuple(c.reshape(-1, BR) for c in comps)
+    rays6 = tuple(c.reshape(-1, 1, BR) for c in comps)
     packed_vals = tuple(packed[k] for k in FIELDS)
 
     t, idx = _closest_hit_padded(
@@ -190,4 +184,4 @@ def closest_hit_pallas(origin, direction, packed: dict, mint, maxt,
     # padding triangles can never win; padding rays are dropped here
     n_real = packed["__count__"]
     miss = ~jnp.isfinite(t) | (idx >= n_real)
-    return jnp.where(miss, _INF, t), jnp.where(miss, -1, idx)
+    return jnp.where(miss, jnp.float32(np.inf), t), jnp.where(miss, -1, idx)
