@@ -58,6 +58,22 @@ FAM_PLN = 2
 _DENOM_EPS = jnp.float32(1e-30)
 
 
+def _min_and_first_index(t, axis):
+    """(min t, index of first min) without argmin/take_along_axis.
+
+    XLA's argmin + take_along_axis lowering on [N, small] arrays measured
+    ~11x slower than two plain min-reductions with an iota select (43.9ms vs
+    4ms at 1080p); this is the same first-min trick the Pallas kernel uses.
+    """
+    tb = jnp.min(t, axis=axis)
+    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, axis)
+    first = jnp.min(
+        jnp.where(t == jnp.expand_dims(tb, axis), iota, jnp.int32(2**30)),
+        axis=axis,
+    )
+    return tb, first
+
+
 def _safe_div(num, den):
     """num/den with sign-preserving clamp so 0-denominators give huge t
     (rejected by range tests) instead of NaNs that poison gradients."""
@@ -125,9 +141,8 @@ def _tri_block_best(o, d, v0, pre, mint, maxt):
     t, u, v = _tri_block_tuv(o, d, v0, pre)
     valid = (mint < t) & (t < maxt) & (u > 0.0) & (v > 0.0) & (u + v < 1.0)
     t = jnp.where(valid, t, INF)
-    col = jnp.argmin(t, axis=1)
-    tbest = jnp.take_along_axis(t, col[:, None], axis=1)[:, 0]
-    return tbest, col.astype(jnp.int32)
+    tbest, col = _min_and_first_index(t, axis=1)
+    return tbest, col
 
 
 def closest_hit_triangles(
@@ -233,14 +248,18 @@ def closest_hit_spheres(origin, direction, center, radius, mint, maxt):
     mint = jnp.float32(mint)
     maxt = jnp.float32(maxt)
 
-    oc_c = _pdot(origin, center)  # o.c [N,S]
-    d_c = _pdot(direction, center)  # d.c [N,S]
-    oo = vdot(origin, origin)[:, None]
-    dd = vdot(direction, direction)[:, None]
-    cc = vdot(center, center)[None, :]
-    # |o - c + t d|^2 = r^2  ->  dd t^2 + 2 (d.o - d.c) t + |o-c|^2 - r^2 = 0
-    b_half = vdot(direction, origin)[:, None] - d_c
-    c_term = oo - 2.0 * oc_c + cc - (radius * radius)[None, :]
+    # [S, N] orientation: rays on the lane axis (an [N, S] layout pads the
+    # S-wide lane dim to 128 — measured 11x slower at S=2).
+    cx, cy, cz = center[:, 0:1], center[:, 1:2], center[:, 2:3]  # [S,1]
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]  # [N]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    ocx = ox[None, :] - cx
+    ocy = oy[None, :] - cy
+    ocz = oz[None, :] - cz  # [S,N]
+    dd = (dx * dx + dy * dy + dz * dz)[None, :]
+    # |o - c + t d|^2 = r^2  ->  dd t^2 + 2 d.(o-c) t + |o-c|^2 - r^2 = 0
+    b_half = dx[None, :] * ocx + dy[None, :] * ocy + dz[None, :] * ocz
+    c_term = ocx * ocx + ocy * ocy + ocz * ocz - (radius * radius)[:, None]
     disc = b_half * b_half - dd * c_term
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t0 = _safe_div(-b_half - sq, dd)
@@ -248,9 +267,8 @@ def closest_hit_spheres(origin, direction, center, radius, mint, maxt):
     t_near = jnp.where((t0 > mint) & (t0 < maxt), t0, INF)
     t_far = jnp.where((t1 > mint) & (t1 < maxt), t1, INF)
     t = jnp.where(disc > 0.0, jnp.minimum(t_near, t_far), INF)
-    col = jnp.argmin(t, axis=1)
-    tbest = jnp.take_along_axis(t, col[:, None], axis=1)[:, 0]
-    idx = jnp.where(jnp.isfinite(tbest), col.astype(jnp.int32), -1)
+    tbest, row = _min_and_first_index(t, axis=0)
+    idx = jnp.where(jnp.isfinite(tbest), row, -1)
     return tbest, idx
 
 
@@ -283,13 +301,14 @@ def closest_hit_planes(origin, direction, normal, d_off, mint, maxt):
         return jnp.full((n,), INF), jnp.full((n,), -1, jnp.int32)
     mint = jnp.float32(mint)
     maxt = jnp.float32(maxt)
-    on = _pdot(origin, normal)
-    dn = _pdot(direction, normal)
-    t = _safe_div(d_off[None, :] - on, dn)
+    # [P, N] orientation (see closest_hit_spheres).
+    nx, ny, nz = normal[:, 0:1], normal[:, 1:2], normal[:, 2:3]  # [P,1]
+    on = nx * origin[None, :, 0] + ny * origin[None, :, 1] + nz * origin[None, :, 2]
+    dn = nx * direction[None, :, 0] + ny * direction[None, :, 1] + nz * direction[None, :, 2]
+    t = _safe_div(d_off[:, None] - on, dn)
     t = jnp.where((t > mint) & (t < maxt), t, INF)
-    col = jnp.argmin(t, axis=1)
-    tbest = jnp.take_along_axis(t, col[:, None], axis=1)[:, 0]
-    idx = jnp.where(jnp.isfinite(tbest), col.astype(jnp.int32), -1)
+    tbest, row = _min_and_first_index(t, axis=0)
+    idx = jnp.where(jnp.isfinite(tbest), row, -1)
     return tbest, idx
 
 
@@ -325,7 +344,7 @@ def intersect_aabb(origin, direction, box_min, box_max, mint, maxt):
 # Triangle search backend: 'auto' uses the fused Pallas kernel on TPU for
 # scenes past a size threshold, XLA otherwise.  set_backend overrides.
 _BACKEND = "auto"
-_PALLAS_MIN_TRIS = 32
+_PALLAS_MIN_TRIS = 1
 
 
 def set_backend(name: str) -> None:

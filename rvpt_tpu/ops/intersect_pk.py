@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import triangle_precompute
 
 BR = 1024  # rays per program instance (lane axis, multiple of 128)
-BT = 256  # triangles per inner chunk (sublane axis, multiple of 8)
+BT_MAX = 256  # max triangles per inner chunk (sublane axis)
+BT_ALIGN = 8  # sublane alignment
 
 _INF = float("inf")
 _DENOM_EPS = 1e-30  # python float: jnp scalars would be captured consts
@@ -48,7 +49,14 @@ FIELDS = (
 )
 
 
-def pack_triangles(v0, v1, v2, chunk: int = BT) -> dict:
+def chunk_size(n_tris: int) -> int:
+    """Adaptive sublane chunk: small scenes shouldn't pay for a padded 256-row
+    tile (at Cornell's 22 triangles that would be 11.6x wasted VPU work)."""
+    aligned = -(-n_tris // BT_ALIGN) * BT_ALIGN
+    return min(aligned, BT_MAX)
+
+
+def pack_triangles(v0, v1, v2, chunk: int | None = None) -> dict:
     """Precompute per-triangle scalars, pad to a chunk multiple.
 
     Padding rows have a zero normal -> clamped denominator -> huge t -> never
@@ -56,6 +64,8 @@ def pack_triangles(v0, v1, v2, chunk: int = BT) -> dict:
     """
     pre = triangle_precompute(v0, v1, v2)
     t = v0.shape[0]
+    if chunk is None:
+        chunk = chunk_size(t)
     pad = (-t) % chunk
     fields = {
         "nx": pre["n"][:, 0], "ny": pre["n"][:, 1], "nz": pre["n"][:, 2],
@@ -72,10 +82,11 @@ def pack_triangles(v0, v1, v2, chunk: int = BT) -> dict:
             arr = jnp.concatenate([arr, jnp.zeros((pad,), jnp.float32)])
         out[k] = arr.reshape(-1, 1)  # [T_pad, 1]: sublane-major columns
     out["__count__"] = t
+    out["__chunk__"] = chunk
     return out
 
 
-def _kernel(mint, maxt, n_chunks, *refs):
+def _kernel(mint, maxt, n_chunks, bt, *refs):
     """One program = BR rays against every triangle chunk."""
     (ox, oy, oz, dx, dy, dz) = refs[:6]
     tri = dict(zip(FIELDS, refs[6:22]))
@@ -90,7 +101,7 @@ def _kernel(mint, maxt, n_chunks, *refs):
 
     def chunk_body(c, carry):
         t_best, i_best = carry
-        sl = pl.ds(c * BT, BT)
+        sl = pl.ds(c * bt, bt)
 
         def col(name):
             return tri[name][sl, :]  # [BT, 1] column (sublane axis)
@@ -117,7 +128,7 @@ def _kernel(mint, maxt, n_chunks, *refs):
         t_masked = jnp.where(valid, t, _INF)
 
         cmin = jnp.min(t_masked, axis=0, keepdims=True)  # [1, BR]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (BT, BR), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bt, BR), 0)
         first = jnp.min(
             jnp.where(t_masked == cmin, rows, jnp.int32(2**30)),
             axis=0,
@@ -125,7 +136,7 @@ def _kernel(mint, maxt, n_chunks, *refs):
         )
         better = cmin < t_best
         t_best = jnp.where(better, cmin, t_best)
-        i_best = jnp.where(better, c * BT + first, i_best)
+        i_best = jnp.where(better, c * bt + first, i_best)
         return t_best, i_best
 
     t0 = jnp.full((1, BR), _INF, jnp.float32)
@@ -135,13 +146,13 @@ def _kernel(mint, maxt, n_chunks, *refs):
     i_out[0] = i_best
 
 
-@functools.partial(jax.jit, static_argnames=("mint", "maxt", "interpret"))
-def _closest_hit_padded(rays6, packed_vals, mint, maxt, interpret):
+@functools.partial(jax.jit, static_argnames=("mint", "maxt", "interpret", "bt"))
+def _closest_hit_padded(rays6, packed_vals, mint, maxt, interpret, bt):
     n_tiles = rays6[0].shape[0]
     t_pad = packed_vals[0].shape[0]
-    n_chunks = t_pad // BT
+    n_chunks = t_pad // bt
 
-    kern = functools.partial(_kernel, float(mint), float(maxt), n_chunks)
+    kern = functools.partial(_kernel, float(mint), float(maxt), n_chunks, bt)
     ray_spec = pl.BlockSpec((1, 1, BR), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((t_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, BR), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -177,7 +188,8 @@ def closest_hit_pallas(origin, direction, packed: dict, mint, maxt,
     packed_vals = tuple(packed[k] for k in FIELDS)
 
     t, idx = _closest_hit_padded(
-        rays6, packed_vals, float(mint), float(maxt), interpret
+        rays6, packed_vals, float(mint), float(maxt), interpret,
+        packed["__chunk__"],
     )
     t = t.reshape(-1)[:n]
     idx = idx.reshape(-1)[:n]
