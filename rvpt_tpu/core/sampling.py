@@ -19,7 +19,7 @@ def map_uniform_sphere(u, v):
     (reference: samples_mapping.glsl:39-60)."""
     phi = TWO_PI * u
     cos_theta = 1.0 - 2.0 * v
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
     return jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
     )
@@ -38,7 +38,7 @@ def map_uniform_hemisphere(u, v, n):
     (reference: samples_mapping.glsl:84-108)."""
     phi = TWO_PI * u
     cos_theta = v
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
     return hemisphere_around_normal(phi, cos_theta, sin_theta, n)
 
 
@@ -53,8 +53,8 @@ def map_cosine_hemisphere(u, v, n):
     """Cosine-weighted hemisphere via inverse-transform sampling in an ONB
     (reference: samples_mapping.glsl:135-159)."""
     phi = TWO_PI * u
-    cos_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - v))
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, v))
+    cos_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - v))
+    sin_theta = jnp.sqrt(jnp.maximum(1e-12, v))
     return hemisphere_around_normal(phi, cos_theta, sin_theta, n)
 
 
@@ -63,7 +63,7 @@ def map_uniform_ball(u, v, w):
     (reference: samples_mapping.glsl:163-187)."""
     phi = TWO_PI * u
     cos_theta = 1.0 - 2.0 * v
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
     r = jnp.cbrt(w)
     return r[..., None] * jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1

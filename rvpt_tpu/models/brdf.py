@@ -85,7 +85,9 @@ def shade_and_scatter(pos, normal, dir_in, mat, rnd_u, rnd_v, rnd_fresnel):
 
     # --- Dielectric (type 2): stochastic Fresnel reflect/refract.
     cos_out_sqr = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
-    cos_out = jnp.sqrt(jnp.maximum(0.0, cos_out_sqr))
+    # epsilon floor: d/dx sqrt(0) = inf turns 0*inf = NaN in the backward of
+    # masked lanes (TIR), even when the tangent is zero
+    cos_out = jnp.sqrt(jnp.maximum(1e-12, cos_out_sqr))
     f_refl = fresnel_reflectance(cos_in, cos_out, eta)
     # Total internal reflection OR a stochastic Fresnel coin flip.  The branch
     # decision is detached; the chosen direction remains differentiable.

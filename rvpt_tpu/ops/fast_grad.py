@@ -1,0 +1,130 @@
+"""Hand-paired forward/backward for the Kajiya path tracer.
+
+The north-star requirement (BASELINE.md): forward+backward intersection/
+shading at speed-of-light.  Autodiff through the XLA integrator spends most
+of its time re-searching primitives in the rematerialized backward.  This
+module pairs:
+
+  forward   = the Pallas megakernel (ops.megakernel), which also emits the
+              per-bounce hit records (family, index) — 8 bytes/ray/bounce;
+  backward  = reverse-mode AD of an XLA *replay from hits*: the same bounce
+              chain with every closest-hit search replaced by the O(N)
+              differentiable rebuild of the recorded winner
+              (ops.intersect.isect_from_hit) — no [rays x prims] work at all.
+
+This is the "hand-derived backward through the intersection and shading
+chain": the discrete search is computed once (forward, fused kernel), and the
+differentiable chain is replayed exactly, reusing identical RNG streams.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import normalize
+from ..core.types import Ray
+from ..models import brdf
+from ..models.integrators import _bounce_rands, _flat_scan, _sky
+from ..scene.materials import gather
+from .intersect import isect_from_hit
+from .megakernel import MegakernelRenderer
+
+
+def kajiya_from_hits(scene, ray, pixel, frame, salt_base, fams, idxs,
+                     style="reference"):
+    """Differentiable replay of a Kajiya trace given per-bounce hit records.
+
+    fams/idxs: i32[B, N] from MegakernelRenderer.trace(collect_hits=True).
+    Returns radiance f32[N, 3].  Matches the megakernel's output up to fma
+    rounding, but is fully differentiable w.r.t. scene and rays.
+    """
+    n = ray.origin.shape[0]
+    nbounce = fams.shape[0]
+
+    def step(carry, x):
+        o, d, col, thr, active, result = carry
+        fam, idx, bounce = x
+        isect = isect_from_hit(scene, Ray(o, d), fam, idx, mint=0.0)
+        hit = fam >= 0
+        miss_now = active & ~hit
+        sky = _sky(d, half_shift=True)
+        result = result + jnp.where(miss_now[:, None], col + thr * sky, 0.0)
+        active = active & hit
+
+        mat = gather(scene.materials, isect.mat)
+        col = col + jnp.where(active[:, None], thr * mat.emission, 0.0)
+
+        dir_in = normalize(d)
+        u, v, w = _bounce_rands(pixel, frame, salt_base, bounce)
+        pos_out, dir_out, fac = brdf.shade_and_scatter(
+            isect.pos, isect.normal, dir_in, mat, u, v, w
+        )
+        thr = jnp.where(active[:, None], thr * fac, thr)
+        o = jnp.where(active[:, None], pos_out, o)
+        d = jnp.where(active[:, None], dir_out, d)
+        return (o, d, col, thr, active, result), None
+
+    init = (
+        ray.origin,
+        ray.direction,
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+        jnp.zeros((n, 3), jnp.float32),
+    )
+    (o, d, col, thr, active, result), _ = _flat_scan(
+        step, init, (fams, idxs, jnp.arange(nbounce, dtype=jnp.uint32))
+    )
+    if style == "standard":
+        result = result + jnp.where(active[:, None], col, 0.0)
+    return result
+
+
+def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
+                     style: str = "reference", interpret: bool = False):
+    """Build the custom-VJP Kajiya trace for scenes with this template's
+    static shape.  Returns trace(scene, origin, direction, pixel, frame)
+    -> radiance f32[N,3]."""
+
+    def _fwd_trace(scene, origin, direction, pixel, frame):
+        mk = MegakernelRenderer(scene)
+        (r, g, b), fams, idxs = mk.trace(
+            pixel, origin, direction, frame, salt_base, max_bounces,
+            style=style, interpret=interpret, collect_hits=True,
+        )
+        return jnp.stack([r, g, b], axis=-1), fams, idxs
+
+    @jax.custom_vjp
+    def trace(scene, origin, direction, pixel, frame):
+        out, _, _ = _fwd_trace(scene, origin, direction, pixel, frame)
+        return out
+
+    def fwd(scene, origin, direction, pixel, frame):
+        out, fams, idxs = _fwd_trace(scene, origin, direction, pixel, frame)
+        return out, (scene, origin, direction, pixel, frame, fams, idxs)
+
+    def bwd(res, g):
+        scene, origin, direction, pixel, frame, fams, idxs = res
+
+        def replay(scene, o, d):
+            return kajiya_from_hits(
+                scene, Ray(o, d), pixel, frame, salt_base, fams, idxs, style
+            )
+
+        _, vjp_fn = jax.vjp(replay, scene, origin, direction)
+        g_scene, g_o, g_d = vjp_fn(g)
+        f0 = jax.dtypes.float0
+        return (
+            g_scene,
+            g_o,
+            g_d,
+            np.zeros(pixel.shape, f0),
+            np.zeros(frame.shape, f0),
+        )
+
+    trace.defvjp(fwd, bwd)
+    return trace

@@ -279,7 +279,9 @@ def sphere_isect_single(o, d, center, radius, mint):
     dd = vdot(d, d)
     b_half = vdot(d, oc)
     c_term = vdot(oc, oc) - radius * radius
-    disc = jnp.maximum(b_half * b_half - dd * c_term, 0.0)
+    # The epsilon floor keeps sqrt differentiable on masked miss lanes (the
+    # where-NaN trap: d/dx sqrt(0) = inf poisons gradients through selects).
+    disc = jnp.maximum(b_half * b_half - dd * c_term, 1e-12)
     sq = jnp.sqrt(disc)
     t0 = _safe_div(-b_half - sq, dd)
     t1 = _safe_div(-b_half + sq, dd)
@@ -434,6 +436,15 @@ def isect_from_hit(
     uv = jnp.zeros((n_rays, 2), jnp.float32)
     mat = jnp.full((n_rays,), -1, jnp.int32)
 
+    # NaN-hygiene: every per-family t is clamped to a sane value on masked
+    # lanes BEFORE any further arithmetic.  Garbage t values (clamped-
+    # denominator divisions can reach ~1e36) stay finite in the primal but
+    # their *partials* overflow f32, and a where() only zeroes cotangents —
+    # 0 * inf = NaN then poisons the whole backward pass (observed under
+    # lax.scan, where DCE can't prune the dead branch like it can unrolled).
+    def _mask_t(m, t_raw):
+        return jnp.where(m, jnp.clip(t_raw, -1e6, 1e6), 0.0)
+
     if scene.num_triangles > 0:
         safe = jnp.clip(idx, 0, scene.num_triangles - 1)
         v0 = scene.tri_v0[safe]
@@ -452,7 +463,8 @@ def isect_from_hit(
         r = scene.sph_radius[safe]
         t_s = sphere_isect_single(o, d, c, r, jnp.float32(mint))
         m = fam == FAM_SPH
-        pos_s = o + t_s[:, None] * d
+        t_s_safe = _mask_t(m, t_s)
+        pos_s = o + t_s_safe[:, None] * d
         t = jnp.where(m, t_s, t)
         normal = jnp.where(m[:, None], pos_s - c, normal)
         mat = jnp.where(m, scene.sph_mat[safe], mat)
@@ -468,7 +480,8 @@ def isect_from_hit(
         mat = jnp.where(m, scene.pln_mat[safe], mat)
 
     hit = jnp.isfinite(t)
-    pos = jnp.where(hit[:, None], o + t[:, None] * d, zero3)
+    t_for_pos = jnp.where(hit, jnp.clip(t, -1e6, 1e6), 0.0)
+    pos = jnp.where(hit[:, None], o + t_for_pos[:, None] * d, zero3)
     # Reference intersect_scene normalizes the stored normal and zeroes it on
     # miss (intersection.glsl:511-513); integrators consume it directly.
     from ..core.math import normalize as _normalize

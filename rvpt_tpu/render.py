@@ -109,6 +109,54 @@ def render_pixels(
     return sampled / settings.aa
 
 
+def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
+    """The fused Pallas bounce kernel serves the pure-Kajiya display path on
+    TPU (no split-screen, no BVH attachment); everything else uses the XLA
+    integrators."""
+    import jax
+
+    from .ops import intersect as intersect_mod
+
+    if not intersect_mod._use_pallas(max(scene.num_triangles, 1)):
+        return False
+    return set(settings.modes()) == {9} and scene.bvh is None
+
+
+def render_sample_fast_chw(scene, camera, settings: RenderSettings,
+                           cfg: FilmConfig, frame):
+    """Megakernel-backed sample render -> f32[3,H,W] (forward-only; identical
+    sampling decisions to the XLA path up to fma rounding).  Falls back to
+    the XLA path when the settings/scene are out of the kernel's scope."""
+    if not _megakernel_eligible(scene, settings):
+        return render_sample_chw(scene, camera, settings, cfg, frame)
+
+    from .models.integrators import AA_STRIDE
+    from .ops.megakernel import MegakernelRenderer
+
+    mk = MegakernelRenderer(scene)
+    pixel, xs, ys = _pixel_grid(cfg)
+    frame = jnp.asarray(frame, jnp.uint32)
+    acc_r = acc_g = acc_b = 0.0
+    for i in range(settings.aa):
+        salt0 = i * AA_STRIDE
+        ju, jv = rng.uniform2(pixel, frame, jnp.uint32(salt0 + _JITTER_SITE))
+        cx = (xs.astype(jnp.float32) + ju) / cfg.width
+        cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
+        ray = camera_mod.generate_rays(camera, cx, cy)
+        r, g, b = mk.trace(
+            pixel, ray.origin, ray.direction, frame,
+            salt_base=salt0 + _INTEGRATOR_SITE,
+            max_bounces=settings.max_bounces, style=settings.style,
+        )
+        acc_r = acc_r + r
+        acc_g = acc_g + g
+        acc_b = acc_b + b
+    inv = 1.0 / settings.aa
+    return jnp.stack(
+        [acc_r * inv, acc_g * inv, acc_b * inv]
+    ).reshape(3, cfg.height, cfg.width)
+
+
 def render_sample_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):
     """Render one frame's sample image f32[3,H,W] (pre-accumulation).
 
@@ -131,10 +179,15 @@ def render_sample(scene, camera, settings: RenderSettings, cfg: FilmConfig, fram
 
 
 def render_frame(scene, camera, settings: RenderSettings, cfg: FilmConfig,
-                 film: film_ops.Film, dirty):
-    """Sample + temporal EMA accumulate; returns (new_film, image f32[3,H,W])."""
+                 film: film_ops.Film, dirty, fast: bool = True):
+    """Sample + temporal EMA accumulate; returns (new_film, image f32[3,H,W]).
+
+    ``fast=True`` (display paths) uses the megakernel when eligible; gradient
+    consumers must pass ``fast=False`` (the kernel has no autodiff rule).
+    """
     frame = jnp.where(jnp.asarray(dirty), jnp.uint32(0), film.frame)
-    sample = render_sample_chw(scene, camera, settings, cfg, frame)
+    render = render_sample_fast_chw if fast else render_sample_chw
+    sample = render(scene, camera, settings, cfg, frame)
     new_film = film_ops.accumulate(film, sample, dirty)
     return new_film, new_film.accum
 
