@@ -109,10 +109,12 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
 
     def bwd(res, g):
         scene, origin, direction, pixel, frame, fams, idxs = res
+        from .replay_soa import kajiya_replay_soa
 
         def replay(scene, o, d):
-            return kajiya_from_hits(
-                scene, Ray(o, d), pixel, frame, salt_base, fams, idxs, style
+            return kajiya_replay_soa(
+                scene, o, d, pixel, frame, jnp.uint32(salt_base), fams, idxs,
+                style,
             )
 
         _, vjp_fn = jax.vjp(replay, scene, origin, direction)

@@ -95,3 +95,48 @@ def test_fast_grad_vertex_gradients():
     # visibility edges are detached; interior gradient should still dominate
     assert np.isfinite(g)
     assert abs(g - fd) < max(0.2 * abs(fd), 5e-3), f"grad {g} vs fd {fd}"
+
+
+def test_replay_soa_matches_reference_replay():
+    """The component-SoA replay equals the [N,3] replay in both value and
+    gradient."""
+    from rvpt_tpu.ops.replay_soa import kajiya_replay_soa
+
+    scene, pixel, ray = setup()
+    frame = jnp.uint32(2)
+    mk = MegakernelRenderer(scene)
+    _, fams, idxs = mk.trace(
+        pixel, ray.origin, ray.direction, frame, 16, 3, style="standard",
+        collect_hits=True, interpret=True,
+    )
+    a = np.asarray(
+        kajiya_from_hits(scene, ray, pixel, frame, 16, fams, idxs, "standard")
+    )
+    b = np.asarray(
+        kajiya_replay_soa(
+            scene, ray.origin, ray.direction, pixel, frame, jnp.uint32(16),
+            fams, idxs, "standard",
+        )
+    )
+    assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def loss_a(albedo):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s = dataclasses.replace(scene, materials=mats)
+        return jnp.mean(
+            kajiya_from_hits(s, ray, pixel, frame, 16, fams, idxs, "standard")
+        )
+
+    def loss_b(albedo):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s = dataclasses.replace(scene, materials=mats)
+        return jnp.mean(
+            kajiya_replay_soa(
+                s, ray.origin, ray.direction, pixel, frame, jnp.uint32(16),
+                fams, idxs, "standard",
+            )
+        )
+
+    ga = np.asarray(jax.grad(loss_a)(scene.materials.albedo))
+    gb = np.asarray(jax.grad(loss_b)(scene.materials.albedo))
+    assert np.allclose(ga, gb, rtol=1e-3, atol=1e-6)
