@@ -15,6 +15,7 @@ forward axis.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.math import PI, TWO_PI, normalize, unit_spherical_to_cartesian
@@ -130,3 +131,41 @@ def _spherical(cam: Camera, m: jnp.ndarray, x, y) -> Ray:
     direction = local @ m[:3, :3].T
     origin = jnp.broadcast_to(m[:3, 3], direction.shape)
     return Ray(origin=origin, direction=direction)
+
+
+def generate_rays_soa(cam: Camera, x: jnp.ndarray, y: jnp.ndarray):
+    """Component-SoA ray generation: returns (ox,oy,oz,dx,dy,dz) flat [N]
+    arrays — the layout the Pallas megakernel consumes.  Avoids any [N,3]
+    buffer (TPU pads a 3-wide trailing axis 42.7x when materialized)."""
+    m = camera_matrix(cam)
+    if cam.mode == PINHOLE:
+        hfov = cam.fov * (PI / 180.0)
+        u = cam.aspect * (2.0 * x - 1.0)
+        v = 2.0 * y - 1.0
+        w = 1.0 / jnp.tan(0.5 * hfov)
+        dx = m[0, 0] * u + m[0, 1] * v + m[0, 2] * w
+        dy = m[1, 0] * u + m[1, 1] * v + m[1, 2] * w
+        dz = m[2, 0] * u + m[2, 1] * v + m[2, 2] * w
+        inv = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+        ones = jnp.ones_like(u)
+        return (m[0, 3] * ones, m[1, 3] * ones, m[2, 3] * ones,
+                dx * inv, dy * inv, dz * inv)
+    if cam.mode == ORTHO:
+        u = cam.aspect * (2.0 * x - 1.0) * cam.scale
+        v = (2.0 * y - 1.0) * cam.scale
+        ox = m[0, 0] * u + m[0, 1] * v + m[0, 3]
+        oy = m[1, 0] * u + m[1, 1] * v + m[1, 3]
+        oz = m[2, 0] * u + m[2, 1] * v + m[2, 3]
+        ones = jnp.ones_like(u)
+        return (ox, oy, oz, m[0, 2] * ones, m[1, 2] * ones, m[2, 2] * ones)
+    phi = x * TWO_PI
+    theta = y * PI
+    sin_t = jnp.sin(theta)
+    lx = sin_t * jnp.cos(phi)
+    lz = sin_t * jnp.sin(phi)  # .xzy swizzle (camera.glsl:95)
+    ly = jnp.cos(theta)
+    dx = m[0, 0] * lx + m[0, 1] * ly + m[0, 2] * lz
+    dy = m[1, 0] * lx + m[1, 1] * ly + m[1, 2] * lz
+    dz = m[2, 0] * lx + m[2, 1] * ly + m[2, 2] * lz
+    ones = jnp.ones_like(phi)
+    return (m[0, 3] * ones, m[1, 3] * ones, m[2, 3] * ones, dx, dy, dz)

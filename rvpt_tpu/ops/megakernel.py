@@ -515,10 +515,16 @@ class MegakernelRenderer:
                 x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
             return x.reshape(-1, 1, BR)
 
+        if isinstance(origin, tuple):
+            o0, o1, o2 = origin
+            d0, d1, d2 = direction
+        else:
+            o0, o1, o2 = origin[:, 0], origin[:, 1], origin[:, 2]
+            d0, d1, d2 = direction[:, 0], direction[:, 1], direction[:, 2]
         state = [
             row(pixel),
-            row(origin[:, 0]), row(origin[:, 1]), row(origin[:, 2]),
-            row(direction[:, 0]), row(direction[:, 1]), row(direction[:, 2]),
+            row(o0), row(o1), row(o2),
+            row(d0), row(d1), row(d2),
             row(jnp.ones((n,), jnp.float32)),  # thr
             row(jnp.ones((n,), jnp.float32)),
             row(jnp.ones((n,), jnp.float32)),

@@ -142,9 +142,9 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
         ju, jv = rng.uniform2(pixel, frame, jnp.uint32(salt0 + _JITTER_SITE))
         cx = (xs.astype(jnp.float32) + ju) / cfg.width
         cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
-        ray = camera_mod.generate_rays(camera, cx, cy)
+        o_comps_and_d = camera_mod.generate_rays_soa(camera, cx, cy)
         r, g, b = mk.trace(
-            pixel, ray.origin, ray.direction, frame,
+            pixel, o_comps_and_d[:3], o_comps_and_d[3:], frame,
             salt_base=salt0 + _INTEGRATOR_SITE,
             max_bounces=settings.max_bounces, style=settings.style,
         )

@@ -52,17 +52,26 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     opt = optax.adam(learning_rate)
     opt_state = opt.init(trainable_params(scene))
 
+    def render(p, frame):
+        s = apply_params(scene, p)
+        if mesh is not None:
+            return render_sample_sharded(s, camera, settings, cfg, frame, mesh)
+        return render_sample_chw(s, camera, settings, cfg, frame)
+
     @jax.jit
     def step(params, opt_state, frame):
-        def loss_fn(p):
-            s = apply_params(scene, p)
-            if mesh is not None:
-                img = render_sample_sharded(s, camera, settings, cfg, frame, mesh)
-            else:
-                img = render_sample_chw(s, camera, settings, cfg, frame)
-            return jnp.mean(jnp.square(img - target))
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Unbiased gradient of the squared error of the MEAN image via two
+        # independent Monte-Carlo samples (the standard dual-buffer estimator
+        # of differentiable rendering):
+        #   d/dp E[X-t]^2 = 2 E[X - t] * dE[X]/dp  ~  2 (X_a - t) . dX_b/dp
+        # A single-sample value_and_grad instead optimizes E[(X-t)^2] =
+        # (E[X]-t)^2 + Var[X], whose variance term pulls emission DOWN (dim
+        # scenes are less noisy) — observed as divergence on the Cornell box.
+        img_a = jax.lax.stop_gradient(render(params, frame * 2 + 4096))
+        img_b, vjp_fn = jax.vjp(lambda p: render(p, frame * 2 + 4097), params)
+        residual = 2.0 * (img_a - target) / img_a.size
+        (grads,) = vjp_fn(residual)
+        loss = jnp.mean(jnp.square(img_a - target))
         updates, opt_state2 = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # keep albedo physical

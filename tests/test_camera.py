@@ -70,3 +70,22 @@ def test_camera_matrix_differentiable():
         return ray.origin[0, 0]
 
     assert np.allclose(jax.grad(f)(1.0), 1.0)
+
+
+def test_soa_raygen_matches_aos():
+    import numpy as np
+
+    for mode in (C.PINHOLE, C.ORTHO, C.SPHERICAL):
+        cam = C.Camera.create(
+            translation=(1, -2, 0.5), rotation=(30, -15, 5), fov=75.0,
+            scale=1.7, aspect=1.5, mode=mode,
+        )
+        r = np.random.default_rng(mode)
+        x = jnp.asarray(r.uniform(0, 1, 257), jnp.float32)
+        y = jnp.asarray(r.uniform(0, 1, 257), jnp.float32)
+        ray = C.generate_rays(cam, x, y)
+        ox, oy, oz, dx, dy, dz = C.generate_rays_soa(cam, x, y)
+        o2 = np.stack([ox, oy, oz], -1)
+        d2 = np.stack([dx, dy, dz], -1)
+        assert np.allclose(o2, np.asarray(ray.origin), atol=1e-5), mode
+        assert np.allclose(d2, np.asarray(ray.direction), atol=1e-5), mode
