@@ -58,8 +58,12 @@ def main():
 
     scene_rec, losses = inverse.recover(
         scene_init, camera, settings, cfg, mesh, target,
-        steps=150, learning_rate=3e-2, log_every=25,
+        steps=400, learning_rate=3e-2, log_every=50,
     )
+    # NOTE: the reported per-step loss compares a single noisy sample to the
+    # target, so it contains the Monte-Carlo variance (which GROWS as the
+    # recovered emission brightens toward truth) — judge convergence by the
+    # parameter errors below, not the loss curve.
 
     err_albedo = float(jnp.abs(
         scene_rec.materials.albedo - scene_true.materials.albedo
