@@ -123,8 +123,74 @@ def closest_hit_bvh(scene, bvh, origin, direction, mint, maxt):
 
 
 def any_hit_bvh(scene, bvh, origin, direction, mint, maxt):
-    """Occlusion query; currently delegates to closest-hit (a dedicated
-    early-exit variant is a later optimization — the reference keeps the same
-    structure for both, intersection.glsl:417-463)."""
-    t, idx = closest_hit_bvh(scene, bvh, origin, direction, mint, maxt)
-    return idx >= 0
+    """Occlusion query with per-lane early exit: a lane marks itself done on
+    its FIRST valid hit (the reference's intersect_bvh_any early return,
+    intersection.glsl:417-463) — in the lockstep model that just means the
+    lane idles until the batch converges, but it stops expanding nodes."""
+    n = origin.shape[0]
+    mint = jnp.float32(mint)
+    maxt = jnp.float32(maxt)
+    max_leaf = int(bvh.max_leaf)
+    n_tri = scene.tri_v0.shape[0]
+    node_first = bvh.first.astype(jnp.int32)
+    node_count = bvh.count.astype(jnp.int32)
+    inv_d = _safe_div(jnp.float32(1.0), direction)
+    lane = jnp.arange(n)
+
+    def aabb_hit(bmin, bmax):
+        f = (bmax - origin) * inv_d
+        nr = (bmin - origin) * inv_d
+        t1 = jnp.min(jnp.maximum(f, nr), axis=-1)
+        t0 = jnp.max(jnp.minimum(f, nr), axis=-1)
+        return jnp.minimum(t1, maxt) >= jnp.maximum(t0, mint)
+
+    def cond(state):
+        return ~jnp.all(state[-1])
+
+    def body(state):
+        node, stack, ptr, found, done = state
+        nsafe = jnp.clip(node, 0, node_first.shape[0] - 1)
+        first = node_first[nsafe]
+        count = node_count[nsafe]
+        box_hit = aabb_hit(bvh.bmin[nsafe], bvh.bmax[nsafe]) & ~done
+        is_leaf = count > 0
+
+        def leaf_body(k, fnd):
+            tri = jnp.clip(first + k, 0, n_tri - 1)
+            active = box_hit & is_leaf & (k < count) & ~fnd
+            t, u, v, _ = triangle_isect_single(
+                origin, direction,
+                scene.tri_v0[tri], scene.tri_v1[tri], scene.tri_v2[tri],
+            )
+            valid = (
+                active & (mint < t) & (t < maxt)
+                & (u > 0.0) & (v > 0.0) & (u + v < 1.0)
+            )
+            return fnd | valid
+
+        found = jax.lax.fori_loop(0, max_leaf, leaf_body, found)
+        done = done | found
+
+        descend = box_hit & ~is_leaf & ~done
+        push_val = jnp.where(
+            descend, first + 1, stack[lane, jnp.clip(ptr, 0, STACK_DEPTH - 1)]
+        )
+        new_stack = stack.at[lane, jnp.clip(ptr, 0, STACK_DEPTH - 1)].set(push_val)
+        new_ptr = jnp.where(descend, ptr + 1, ptr)
+        pop = ~done & ~descend
+        pop_ptr = jnp.maximum(new_ptr - 1, 0)
+        popped = new_stack[lane, pop_ptr]
+        node = jnp.where(descend, first, jnp.where(pop, popped, node))
+        new_ptr = jnp.where(pop, pop_ptr, new_ptr)
+        done = done | (pop & (popped == SENTINEL))
+        return node, new_stack, new_ptr, found, done
+
+    state = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.full((n, STACK_DEPTH), SENTINEL, jnp.int32),
+        jnp.ones((n,), jnp.int32),
+        jnp.zeros((n,), bool),
+        jnp.zeros((n,), bool),
+    )
+    _, _, _, found, _ = jax.lax.while_loop(cond, body, state)
+    return found

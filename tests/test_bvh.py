@@ -142,3 +142,15 @@ f -4 -3 -2
     assert f[0].tolist() == [0, 1, 2]
     assert f[1].tolist() == [0, 2, 3]
     assert f[2].tolist() == [0, 1, 2]
+
+
+def test_any_hit_matches_closest_hit():
+    scene = random_mesh_scene(150, seed=21)
+    sb = B.attach_bvh(scene)
+    r = np.random.default_rng(22)
+    o = jnp.asarray(r.uniform(-4, 4, (96, 3)), jnp.float32)
+    d = r.normal(size=(96, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t, idx = T.closest_hit_bvh(sb, sb.bvh, o, d, 1e-3, np.inf)
+    any_ = T.any_hit_bvh(sb, sb.bvh, o, d, 1e-3, np.inf)
+    assert np.array_equal(np.asarray(any_), np.asarray(idx) >= 0)
