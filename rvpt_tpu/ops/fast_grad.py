@@ -85,10 +85,26 @@ def kajiya_from_hits(scene, ray, pixel, frame, salt_base, fams, idxs,
 
 
 def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
-                     style: str = "reference", interpret: bool = False):
+                     style: str = "reference", interpret: bool = False,
+                     backward: str = "auto"):
     """Build the custom-VJP Kajiya trace for scenes with this template's
     static shape.  Returns trace(scene, origin, direction, pixel, frame)
-    -> radiance f32[N,3]."""
+    -> radiance f32[N,3].
+
+    ``backward`` selects the pullback implementation:
+      - "pallas": fully-fused per-bounce Pallas pullback (ops.backward_pk) —
+        in-kernel vjp of the replay chain, scene grads as masked cross-lane
+        reductions; the fast path for megakernel-scale scenes.
+      - "soa": XLA reverse-AD of the component-SoA replay (ops.replay_soa).
+      - "auto": "pallas" when every scene table fits the kernel's one-hot
+        select width, else "soa".
+    """
+    if backward == "auto":
+        backward = "pallas" if scene_template.num_triangles <= 1024 else "soa"
+    if backward == "pallas":
+        return _make_fast_kajiya_pk(
+            scene_template, salt_base, max_bounces, style, interpret
+        )
 
     def _fwd_trace(scene, origin, direction, pixel, frame):
         mk = MegakernelRenderer(scene)
@@ -126,6 +142,87 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
             g_d,
             np.zeros(pixel.shape, f0),
             np.zeros(frame.shape, f0),
+        )
+
+    trace.defvjp(fwd, bwd)
+    return trace
+
+
+def _zero_cotangent(x):
+    """Zero cotangent leaf: zeros for inexact dtypes, float0 for discrete."""
+    if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def _make_fast_kajiya_pk(scene_template, salt_base: int, max_bounces: int,
+                         style: str, interpret: bool):
+    """Custom-VJP trace whose backward is the fused Pallas pullback."""
+    import dataclasses
+
+    from .backward_pk import kajiya_bwd_pallas, scene_grads_from_tables
+    from .megakernel import BR
+
+    def _fwd_trace(scene, origin, direction, pixel, frame):
+        mk = MegakernelRenderer(scene)
+        (r, g, b), record = mk.trace(
+            pixel, origin, direction, frame, salt_base, max_bounces,
+            style=style, interpret=interpret, collect_states=True,
+        )
+        return jnp.stack([r, g, b], axis=-1), record
+
+    @jax.custom_vjp
+    def trace(scene, origin, direction, pixel, frame):
+        out, _ = _fwd_trace(scene, origin, direction, pixel, frame)
+        return out
+
+    def fwd(scene, origin, direction, pixel, frame):
+        out, record = _fwd_trace(scene, origin, direction, pixel, frame)
+        return out, (scene, record, frame)
+
+    def bwd(res, g):
+        scene, record, frame = res
+        n = g.shape[0]
+        pad = (-n) % BR
+
+        def grow(x):
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+            return x.reshape(-1, 1, BR)
+
+        g_rows = (grow(g[:, 0]), grow(g[:, 1]), grow(g[:, 2]))
+        gtabs, go, gd = kajiya_bwd_pallas(
+            scene, record["pix_row"], frame, record["states"],
+            record["fam_rows"], record["idx_rows"], record["act_final_row"],
+            g_rows, salt_base, style, interpret=interpret,
+        )
+        grads = scene_grads_from_tables(scene, gtabs)
+        g_scene = jax.tree.map(_zero_cotangent, scene)
+        g_scene = dataclasses.replace(
+            g_scene,
+            tri_v0=grads["tri_v0"], tri_v1=grads["tri_v1"],
+            tri_v2=grads["tri_v2"],
+            sph_center=grads["sph_center"], sph_radius=grads["sph_radius"],
+            pln_normal=grads["pln_normal"], pln_d=grads["pln_d"],
+            materials=dataclasses.replace(
+                g_scene.materials,
+                albedo=grads["albedo"], emission=grads["emission"],
+                ior=grads["ior"],
+            ),
+        )
+
+        def unrow(rows):
+            return jnp.stack(
+                [r.reshape(-1)[:n] for r in rows], axis=-1
+            )
+
+        f0 = jax.dtypes.float0
+        return (
+            g_scene,
+            unrow(go),
+            unrow(gd),
+            np.zeros((n,), f0),
+            np.zeros(jnp.shape(frame), f0),
         )
 
     trace.defvjp(fwd, bwd)

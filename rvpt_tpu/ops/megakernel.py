@@ -499,10 +499,18 @@ class MegakernelRenderer:
         )
 
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
-              style="reference", interpret=False, collect_hits=False):
+              style="reference", interpret=False, collect_hits=False,
+              collect_states=False):
         """Trace Kajiya paths; returns radiance components ([N],[N],[N]), or
         with ``collect_hits`` ((r,g,b), fams i32[B,N], idxs i32[B,N]) — the
         per-bounce hit records consumed by the custom-VJP backward replay.
+
+        ``collect_states`` instead returns ((r,g,b), record) where record is
+        the residual bundle for the fully-fused Pallas pullback
+        (ops.backward_pk): per-bounce input-state rows (o, d, throughput,
+        color, active — 13 rows each), per-bounce fam/idx hit-record rows,
+        the pixel row and the final active row, all in the kernel's padded
+        [n_tiles, 1, BR] layout.
 
         pixel u32[N]; origin/direction f32[N,3]; salt_base/max_bounces static.
         """
@@ -539,12 +547,19 @@ class MegakernelRenderer:
         meta_key = tuple(sorted(self.meta.items()))
         frame = jnp.asarray(frame, jnp.uint32)
         fams, idxs = [], []
+        saved_states, fam_rows, idx_rows = [], [], []
         for b in range(int(max_bounces)):
+            if collect_states:
+                # Bounce-input state: o(3), d(3), thr(3), col(3), active.
+                saved_states.append(tuple(state[1:13]) + (state[16],))
             outs = _bounce_call(
                 frame, self.tables, tuple(state),
                 meta_key, int(salt_base) + b * 4, self.mint, interpret,
             )
             state = [state[0]] + list(outs[:16])
+            if collect_states:
+                fam_rows.append(outs[16])
+                idx_rows.append(outs[17])
             if collect_hits:
                 fams.append(outs[16].reshape(-1)[:n])
                 idxs.append(outs[17].reshape(-1)[:n])
@@ -557,6 +572,15 @@ class MegakernelRenderer:
             res_r = jnp.where(act, res_r + state[10].reshape(-1)[:n], res_r)
             res_g = jnp.where(act, res_g + state[11].reshape(-1)[:n], res_g)
             res_b = jnp.where(act, res_b + state[12].reshape(-1)[:n], res_b)
+        if collect_states:
+            record = dict(
+                pix_row=state[0],
+                states=tuple(saved_states),
+                fam_rows=tuple(fam_rows),
+                idx_rows=tuple(idx_rows),
+                act_final_row=state[16],
+            )
+            return (res_r, res_g, res_b), record
         if collect_hits:
             return (res_r, res_g, res_b), jnp.stack(fams), jnp.stack(idxs)
         return res_r, res_g, res_b
