@@ -5,8 +5,9 @@ shading at speed-of-light.  Autodiff through the XLA integrator spends most
 of its time re-searching primitives in the rematerialized backward.  This
 module pairs:
 
-  forward   = the Pallas megakernel (ops.megakernel), which also emits the
-              per-bounce hit records (family, index) — 8 bytes/ray/bounce;
+  forward   = the fused whole-path Pallas kernel (ops.pathkernel), which
+              also emits the per-bounce hit records (family, index) and
+              bounce-input states;
   backward  = reverse-mode AD of an XLA *replay from hits*: the same bounce
               chain with every closest-hit search replaced by the O(N)
               differentiable rebuild of the recorded winner
@@ -31,15 +32,15 @@ from ..models import brdf
 from ..models.integrators import _bounce_rands, _flat_scan, _sky
 from ..scene.materials import gather
 from .intersect import isect_from_hit
-from .megakernel import MegakernelRenderer
+from .pathkernel import PathTracer
 
 
 def kajiya_from_hits(scene, ray, pixel, frame, salt_base, fams, idxs,
                      style="reference"):
     """Differentiable replay of a Kajiya trace given per-bounce hit records.
 
-    fams/idxs: i32[B, N] from MegakernelRenderer.trace(collect_hits=True).
-    Returns radiance f32[N, 3].  Matches the megakernel's output up to fma
+    fams/idxs: i32[B, N] hit records (PathTracer.hits_from_record).
+    Returns radiance f32[N, 3].  Matches the path kernel's output up to fma
     rounding, but is fully differentiable w.r.t. scene and rays.
     """
     n = ray.origin.shape[0]
@@ -92,9 +93,9 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
     -> radiance f32[N,3].
 
     ``backward`` selects the pullback implementation:
-      - "pallas": fully-fused per-bounce Pallas pullback (ops.backward_pk) —
-        in-kernel vjp of the replay chain, scene grads as masked cross-lane
-        reductions; the fast path for megakernel-scale scenes.
+      - "pallas": fully-fused whole-chain Pallas pullback (ops.pathkernel
+        .bwd_path) — in-kernel vjp of the replay chain, scene grads as masked
+        sublane+lane reductions; the fast path for kernel-scale scenes.
       - "soa": XLA reverse-AD of the component-SoA replay (ops.replay_soa).
       - "auto": "pallas" when every scene table fits the kernel's one-hot
         select width, else "soa".
@@ -107,11 +108,12 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
         )
 
     def _fwd_trace(scene, origin, direction, pixel, frame):
-        mk = MegakernelRenderer(scene)
-        (r, g, b), fams, idxs = mk.trace(
+        pt = PathTracer(scene)
+        (r, g, b), record = pt.trace(
             pixel, origin, direction, frame, salt_base, max_bounces,
-            style=style, interpret=interpret, collect_hits=True,
+            style=style, interpret=interpret, collect_states=True,
         )
+        fams, idxs = pt.hits_from_record(record, pixel.shape[0], max_bounces)
         return jnp.stack([r, g, b], axis=-1), fams, idxs
 
     @jax.custom_vjp
@@ -160,12 +162,12 @@ def _make_fast_kajiya_pk(scene_template, salt_base: int, max_bounces: int,
     """Custom-VJP trace whose backward is the fused Pallas pullback."""
     import dataclasses
 
-    from .backward_pk import kajiya_bwd_pallas, scene_grads_from_tables
-    from .megakernel import BR
+    from .pathkernel import (PathTracer, _from_tiles, _to_tiles, bwd_path,
+                             scene_grads_from_tables)
 
     def _fwd_trace(scene, origin, direction, pixel, frame):
-        mk = MegakernelRenderer(scene)
-        (r, g, b), record = mk.trace(
+        pt = PathTracer(scene)
+        (r, g, b), record = pt.trace(
             pixel, origin, direction, frame, salt_base, max_bounces,
             style=style, interpret=interpret, collect_states=True,
         )
@@ -183,18 +185,10 @@ def _make_fast_kajiya_pk(scene_template, salt_base: int, max_bounces: int,
     def bwd(res, g):
         scene, record, frame = res
         n = g.shape[0]
-        pad = (-n) % BR
-
-        def grow(x):
-            if pad:
-                x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-            return x.reshape(-1, 1, BR)
-
-        g_rows = (grow(g[:, 0]), grow(g[:, 1]), grow(g[:, 2]))
-        gtabs, go, gd = kajiya_bwd_pallas(
-            scene, record["pix_row"], frame, record["states"],
-            record["fam_rows"], record["idx_rows"], record["act_final_row"],
-            g_rows, salt_base, style, interpret=interpret,
+        g_rows = tuple(_to_tiles(g[:, k]) for k in range(3))
+        gtabs, go, gd = bwd_path(
+            scene, record, frame, g_rows, salt_base, style,
+            interpret=interpret,
         )
         grads = scene_grads_from_tables(scene, gtabs)
         g_scene = jax.tree.map(_zero_cotangent, scene)
@@ -212,9 +206,7 @@ def _make_fast_kajiya_pk(scene_template, salt_base: int, max_bounces: int,
         )
 
         def unrow(rows):
-            return jnp.stack(
-                [r.reshape(-1)[:n] for r in rows], axis=-1
-            )
+            return jnp.stack([_from_tiles(r, n) for r in rows], axis=-1)
 
         f0 = jax.dtypes.float0
         return (

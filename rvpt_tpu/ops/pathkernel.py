@@ -1,0 +1,1109 @@
+"""Fused whole-path Pallas kernel: the entire Kajiya trace in one launch.
+
+Second-generation TPU megakernel (supersedes the original one-kernel-per-
+bounce design, since removed).  Two measured facts drove the redesign:
+
+* a [1, 1024] ray row occupies one (8, 128) VMEM tile with 7/8 of its
+  sublanes padding — a trivial kernel over 2025 such rows costs 4.7 ms at
+  1080p in pure per-step overhead;
+* dense [8, 1024] tiles with the pairwise search as 3D [prims, 8, 1024]
+  broadcasts run the same arithmetic at full VPU rate (~30x faster).
+
+So rays live on full (8, 1024) tiles — S=8 sublanes x L=1024 lanes = 8192
+rays per grid step — and the WHOLE bounce loop runs inside one kernel
+(unrolled, groups of <=8 bounces), so between bounces nothing ray-sized
+touches HBM at all.  Ray generation (pixel decode, AA jitter, all three
+reference camera models — assets/shaders/camera.glsl:29-99) can also run
+in-kernel for the display path, making the film the only ray-sized HBM
+traffic of a frame.
+
+This is the TPU re-design of the reference's per-pixel GLSL megakernel
+(assets/shaders/compute_pass.comp + integrators.glsl:547-677): same bounce
+semantics — closest-hit over every primitive family, winner-attribute
+select, emission/sky accumulation, normal flip + eta handling, Lambert/
+mirror/dielectric dispatch with the stochastic Fresnel branch, counter-based
+RNG keyed (pixel, frame, salt) — identical sampling decisions to the XLA
+integrators up to fma rounding.
+
+The gradient pairing (ops.fast_grad) saves per-bounce input states + hit
+records from the forward and runs `bwd_path` — the whole-chain pullback as
+ONE kernel: per bounce (reversed, unrolled) it rebuilds the differentiable
+replay from the recorded (family, index) and applies ``jax.vjp`` inside the
+kernel trace; scene-table cotangents are masked sublane+lane reductions
+accumulated across the sequential grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.scene import Scene
+from .intersect import triangle_precompute
+
+S = 8      # ray sublanes per tile
+L = 1024   # ray lanes per tile
+TILE = S * L
+MAX_GROUP = 8   # bounces unrolled per kernel launch
+TRI_CHUNK = 16  # triangle rows per search step (bounds [T,S,L] temps)
+
+_BIG = 3.0e38
+_DENOM_EPS = 1e-30
+_TWO_PI = 6.283185307179586
+_EPSILON = 5e-3  # surface offset (compute_pass.comp:9)
+_WHITE = (1.0, 1.0, 1.0)
+_BLUE = (0.2, 0.3, 0.7)   # sky gradient (integrators.glsl:570-571)
+
+TRI_FIELDS = (
+    "nx", "ny", "nz", "e0x", "e0y", "e0z", "e1x", "e1y", "e1z",
+    "v0n", "v0e0", "v0e1", "g00", "g11", "g01", "inv_det", "mat",
+)
+SPH_FIELDS = ("cx", "cy", "cz", "rad", "mat")
+PLN_FIELDS = ("nx", "ny", "nz", "doff", "mat")
+MAT_FIELDS = ("ar", "ag", "ab", "er", "eg", "eb", "ior", "kind")
+
+# Raw (vertex-level) differentiable tables for the backward.
+DIFF_FIELDS = (
+    "tv0x", "tv0y", "tv0z", "tv1x", "tv1y", "tv1z", "tv2x", "tv2y", "tv2z",
+    "scx", "scy", "scz", "srad",
+    "pnx", "pny", "pnz", "pd",
+    "mar", "mag", "mab", "mer", "meg", "meb", "mior",
+)
+NONDIFF_FIELDS = ("tmat", "smat", "pmat", "mkind")
+
+# Camera parameter vector layout (SMEM f32[24]).
+CAM_M = 0          # 0..15: camera matrix, row-major (camera.cpp:132-155)
+CAM_ASPECT = 16
+CAM_PROJ = 17      # pinhole: 1/tan(hfov/2); ortho: scale
+CAM_INV_W = 18
+CAM_INV_H = 19
+CAM_W = 20
+PINHOLE, ORTHO, SPHERICAL = 0, 1, 2
+
+
+def _col(arr, align=8, fill=0.0):
+    """[rows] -> [rows_padded, 1, 1] f32 column for 3D broadcasting."""
+    arr = jnp.asarray(arr, jnp.float32)
+    n = arr.shape[0]
+    pad = (-n) % align if n else align
+    if pad:
+        arr = jnp.concatenate([arr, jnp.full((pad,), fill, jnp.float32)])
+    return arr.reshape(-1, 1, 1)
+
+
+def pack_fwd(scene: Scene) -> tuple[tuple, dict]:
+    """Forward search tables (precomputed triangle form) as [rows,1,1]."""
+    t, s, p = scene.num_triangles, scene.num_spheres, scene.num_planes
+    if t:
+        pre = triangle_precompute(scene.tri_v0, scene.tri_v1, scene.tri_v2)
+        tri = dict(
+            nx=pre["n"][:, 0], ny=pre["n"][:, 1], nz=pre["n"][:, 2],
+            e0x=pre["e0"][:, 0], e0y=pre["e0"][:, 1], e0z=pre["e0"][:, 2],
+            e1x=pre["e1"][:, 0], e1y=pre["e1"][:, 1], e1z=pre["e1"][:, 2],
+            v0n=pre["v0n"], v0e0=pre["v0e0"], v0e1=pre["v0e1"],
+            g00=pre["g00"], g11=pre["g11"], g01=pre["g01"],
+            inv_det=pre["inv_det"], mat=scene.tri_mat.astype(jnp.float32),
+        )
+    else:
+        tri = {k: jnp.zeros((1,), jnp.float32) for k in TRI_FIELDS}
+    chunk = min(-(-max(t, 1) // 8) * 8, TRI_CHUNK)
+    tri_cols = tuple(_col(tri[k], align=chunk) for k in TRI_FIELDS)
+
+    if s:
+        sph = dict(cx=scene.sph_center[:, 0], cy=scene.sph_center[:, 1],
+                   cz=scene.sph_center[:, 2], rad=scene.sph_radius,
+                   mat=scene.sph_mat.astype(jnp.float32))
+    else:
+        sph = {k: jnp.zeros((1,), jnp.float32) for k in SPH_FIELDS}
+    sph_cols = tuple(_col(sph[k]) for k in SPH_FIELDS)
+
+    if p:
+        pln = dict(nx=scene.pln_normal[:, 0], ny=scene.pln_normal[:, 1],
+                   nz=scene.pln_normal[:, 2], doff=scene.pln_d,
+                   mat=scene.pln_mat.astype(jnp.float32))
+    else:
+        pln = {k: jnp.zeros((1,), jnp.float32) for k in PLN_FIELDS}
+    pln_cols = tuple(_col(pln[k]) for k in PLN_FIELDS)
+
+    m = scene.materials
+    if m.count:
+        mats = dict(ar=m.albedo[:, 0], ag=m.albedo[:, 1], ab=m.albedo[:, 2],
+                    er=m.emission[:, 0], eg=m.emission[:, 1],
+                    eb=m.emission[:, 2], ior=m.ior,
+                    kind=m.kind.astype(jnp.float32))
+    else:
+        mats = {k: jnp.zeros((1,), jnp.float32) for k in MAT_FIELDS}
+        mats["ior"] = jnp.ones((1,), jnp.float32)
+    mat_cols = tuple(_col(mats[k]) for k in MAT_FIELDS)
+
+    meta = dict(
+        tri_chunk=chunk, tri_rows=tri_cols[0].shape[0],
+        sph_rows=sph_cols[0].shape[0], pln_rows=pln_cols[0].shape[0],
+        mat_rows=mat_cols[0].shape[0],
+        has_tri=t > 0, has_sph=s > 0, has_pln=p > 0,
+    )
+    return tri_cols + sph_cols + pln_cols + mat_cols, meta
+
+
+def pack_bwd(scene: Scene) -> tuple[tuple, dict]:
+    """Raw differentiable tables + id tables for the pullback."""
+    t, s, p = scene.num_triangles, scene.num_spheres, scene.num_planes
+    m = scene.materials.count
+
+    def fam(n, comps, matcol):
+        if n:
+            return comps, matcol
+        return (tuple(jnp.zeros((1,), jnp.float32) for _ in comps),
+                jnp.zeros((1,), jnp.float32))
+
+    tri, tmat = fam(
+        t,
+        tuple(scene.tri_v0[:, k] for k in range(3))
+        + tuple(scene.tri_v1[:, k] for k in range(3))
+        + tuple(scene.tri_v2[:, k] for k in range(3)),
+        scene.tri_mat.astype(jnp.float32) if t else None,
+    )
+    sph, smat = fam(
+        s, tuple(scene.sph_center[:, k] for k in range(3)) + (scene.sph_radius,),
+        scene.sph_mat.astype(jnp.float32) if s else None,
+    )
+    pln, pmat = fam(
+        p, tuple(scene.pln_normal[:, k] for k in range(3)) + (scene.pln_d,),
+        scene.pln_mat.astype(jnp.float32) if p else None,
+    )
+    if m:
+        mats = (scene.materials.albedo[:, 0], scene.materials.albedo[:, 1],
+                scene.materials.albedo[:, 2],
+                scene.materials.emission[:, 0], scene.materials.emission[:, 1],
+                scene.materials.emission[:, 2], scene.materials.ior)
+        mkind = scene.materials.kind.astype(jnp.float32)
+    else:
+        mats = tuple(jnp.zeros((1,), jnp.float32) for _ in range(7))
+        mkind = jnp.zeros((1,), jnp.float32)
+
+    diff = tuple(_col(c) for c in tri + sph + pln + mats)
+    nondiff = tuple(_col(c) for c in (tmat, smat, pmat, mkind))
+    meta = dict(
+        tri_rows=diff[0].shape[0], sph_rows=diff[9].shape[0],
+        pln_rows=diff[13].shape[0], mat_rows=diff[17].shape[0],
+        num_tri=t, num_sph=s, num_pln=p, num_mat=max(m, 1),
+        has_tri=t > 0, has_sph=s > 0, has_pln=p > 0,
+    )
+    return diff + nondiff, meta
+
+
+def _pcg3d(x, y, z):
+    M = jnp.uint32(1664525)
+    A = jnp.uint32(1013904223)
+    x = x * M + A
+    y = y * M + A
+    z = z * M + A
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    return x, y, z
+
+
+def _unit(bits):
+    # Mosaic lacks a u32->f32 cast; the top 24 bits fit in i32.
+    shifted = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return shifted.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def _safe_div(num, den):
+    return num / jnp.where(jnp.abs(den) < _DENOM_EPS, _DENOM_EPS, den)
+
+
+def _rsqrt_safe(x):
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-30))
+
+
+def _rng(pix, frame, salt):
+    a, b, c = _pcg3d(pix, frame, jnp.uint32(salt))
+    return _unit(a), _unit(b), _unit(c)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint):
+    """Closest-hit over all families.  Ray comps are [S, L]; returns winner
+    (t, nx, ny, nz, mat, fam, idx), all [S, L]."""
+    t_best = jnp.full((S, L), _BIG, jnp.float32)
+    wnx = jnp.zeros((S, L), jnp.float32)
+    wny = jnp.zeros((S, L), jnp.float32)
+    wnz = jnp.zeros((S, L), jnp.float32)
+    wmat = jnp.zeros((S, L), jnp.float32)
+    wfam = jnp.full((S, L), -1, jnp.int32)
+    widx = jnp.full((S, L), -1, jnp.int32)
+
+    oxb, oyb, ozb = ox[None], oy[None], oz[None]
+    dxb, dyb, dzb = dx[None], dy[None], dz[None]
+
+    def pick(carry, tm, rows_n, cols, fam_id, base, normal_fn):
+        """Fold a candidate block [R,S,L] into the winner state."""
+        t_best, wnx, wny, wnz, wmat, wfam, widx = carry
+        cmin = jnp.min(tm, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, S, L), 0)
+        first = jnp.min(
+            jnp.where(tm == cmin[None], rows, jnp.int32(2**30)), axis=0
+        )
+        oh = rows == first[None]
+
+        def sel(col):
+            return jnp.sum(jnp.where(oh, col, 0.0), axis=0)
+
+        better = cmin < t_best
+        nx, ny, nz = normal_fn(cmin, sel)
+        t_best = jnp.where(better, cmin, t_best)
+        wnx = jnp.where(better, nx, wnx)
+        wny = jnp.where(better, ny, wny)
+        wnz = jnp.where(better, nz, wnz)
+        wmat = jnp.where(better, sel(cols["mat"]), wmat)
+        wfam = jnp.where(better, fam_id, wfam)
+        widx = jnp.where(better, base + first, widx)
+        return (t_best, wnx, wny, wnz, wmat, wfam, widx)
+
+    carry = (t_best, wnx, wny, wnz, wmat, wfam, widx)
+
+    if meta["has_tri"]:
+        chunk = meta["tri_chunk"]
+        n_chunks = meta["tri_rows"] // chunk
+
+        def tri_body(c, carry):
+            cols = {k: tri[k][pl.ds(c * chunk, chunk)] for k in TRI_FIELDS}
+            nx, ny, nz = cols["nx"], cols["ny"], cols["nz"]
+            dn = nx * dxb + ny * dyb + nz * dzb
+            on = nx * oxb + ny * oyb + nz * ozb
+            de0 = cols["e0x"] * dxb + cols["e0y"] * dyb + cols["e0z"] * dzb
+            de1 = cols["e1x"] * dxb + cols["e1y"] * dyb + cols["e1z"] * dzb
+            oe0 = cols["e0x"] * oxb + cols["e0y"] * oyb + cols["e0z"] * ozb
+            oe1 = cols["e1x"] * oxb + cols["e1y"] * oyb + cols["e1z"] * ozb
+            dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
+            t = (cols["v0n"] - on) / dn_safe
+            b0 = oe0 + t * de0 - cols["v0e0"]
+            b1 = oe1 + t * de1 - cols["v0e1"]
+            u = cols["inv_det"] * (cols["g11"] * b0 - cols["g01"] * b1)
+            v = cols["inv_det"] * (cols["g00"] * b1 - cols["g01"] * b0)
+            valid = ((mint < t) & (t < carry[0][None]) & (u > 0.0)
+                     & (v > 0.0) & (u + v < 1.0))
+            tm = jnp.where(valid, t, _BIG)
+
+            def tri_normal(cmin, sel):
+                return sel(nx), sel(ny), sel(nz)
+
+            return pick(carry, tm, chunk, cols, 0, c * chunk, tri_normal)
+
+        carry = jax.lax.fori_loop(0, n_chunks, tri_body, carry)
+
+    if meta["has_sph"]:
+        rows_n = meta["sph_rows"]
+        cx, cy, cz = sph["cx"], sph["cy"], sph["cz"]
+        rad = sph["rad"]
+        ocx, ocy, ocz = oxb - cx, oyb - cy, ozb - cz
+        dd = dxb * dxb + dyb * dyb + dzb * dzb
+        bh = dxb * ocx + dyb * ocy + dzb * ocz
+        ct = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = bh * bh - dd * ct
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        dd_safe = jnp.where(jnp.abs(dd) < _DENOM_EPS, _DENOM_EPS, dd)
+        t0 = (-bh - sq) / dd_safe
+        t1 = (-bh + sq) / dd_safe
+        tn = jnp.where((t0 > mint) & (t0 < carry[0][None]), t0, _BIG)
+        tf = jnp.where((t1 > mint) & (t1 < carry[0][None]), t1, _BIG)
+        ts = jnp.where((disc > 0.0) & (rad > 0.0), jnp.minimum(tn, tf), _BIG)
+
+        def sph_normal(cmin, sel):
+            # normal = pos - center (unnormalized, as the XLA path)
+            return (ox + cmin * dx - sel(cx), oy + cmin * dy - sel(cy),
+                    oz + cmin * dz - sel(cz))
+
+        carry = pick(carry, ts, rows_n, sph, 1, 0, sph_normal)
+
+    if meta["has_pln"]:
+        rows_n = meta["pln_rows"]
+        nx, ny, nz = pln["nx"], pln["ny"], pln["nz"]
+        dn = nx * dxb + ny * dyb + nz * dzb
+        on = nx * oxb + ny * oyb + nz * ozb
+        dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
+        tp = (pln["doff"] - on) / dn_safe
+        live = (nx * nx + ny * ny + nz * nz) > 0.0
+        tp = jnp.where((tp > mint) & (tp < carry[0][None]) & live, tp, _BIG)
+
+        def pln_normal(cmin, sel):
+            return sel(nx), sel(ny), sel(nz)
+
+        carry = pick(carry, tp, rows_n, pln, 2, 0, pln_normal)
+
+    return carry
+
+
+def _shade(mat, meta, pix, frame, salt, state, winner):
+    """One bounce's shading at the winner hit.  state/winner comps [S, L]."""
+    (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+     rr, rg, rb, active) = state
+    t_best, wnx, wny, wnz, wmat, wfam, widx = winner
+    hit = wfam >= 0
+
+    sky_t = dy * 0.5 + 0.5
+    miss_now = active & ~hit
+    rr = jnp.where(miss_now, rr + cr + tr * (_WHITE[0] + (_BLUE[0] - _WHITE[0]) * sky_t), rr)
+    rg = jnp.where(miss_now, rg + cg + tg * (_WHITE[1] + (_BLUE[1] - _WHITE[1]) * sky_t), rg)
+    rb = jnp.where(miss_now, rb + cb + tb * (_WHITE[2] + (_BLUE[2] - _WHITE[2]) * sky_t), rb)
+    active = active & hit
+
+    mrows = jax.lax.broadcasted_iota(
+        jnp.int32, (meta["mat_rows"], S, L), 0
+    )
+    is_m = mrows == wmat.astype(jnp.int32)[None]
+
+    def mfetch(name):
+        return jnp.sum(jnp.where(is_m, mat[name], 0.0), axis=0)
+
+    alb_r, alb_g, alb_b = mfetch("ar"), mfetch("ag"), mfetch("ab")
+    em_r, em_g, em_b = mfetch("er"), mfetch("eg"), mfetch("eb")
+    ior = mfetch("ior")
+    kind = mfetch("kind")
+
+    cr = jnp.where(active, cr + tr * em_r, cr)
+    cg = jnp.where(active, cg + tg * em_g, cg)
+    cb = jnp.where(active, cb + tb * em_b, cb)
+
+    px = ox + t_best * dx
+    py = oy + t_best * dy
+    pz = oz + t_best * dz
+    inv_nl = _rsqrt_safe(wnx * wnx + wny * wny + wnz * wnz)
+    nX, nY, nZ = wnx * inv_nl, wny * inv_nl, wnz * inv_nl
+    inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+    iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
+
+    cos_view = iX * nX + iY * nY + iZ * nZ
+    flipped = cos_view > 0.0
+    cos_in = jnp.abs(cos_view)
+    nX = jnp.where(flipped, -nX, nX)
+    nY = jnp.where(flipped, -nY, nY)
+    nZ = jnp.where(flipped, -nZ, nZ)
+    eta = jnp.where(flipped, ior, 1.0 / jnp.maximum(ior, 1e-8))
+
+    ru, rv, rw = _rng(pix, frame, salt)
+
+    phi = _TWO_PI * ru
+    cos_t = 1.0 - 2.0 * rv
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    lamX = nX + sin_t * jnp.cos(phi)
+    lamY = nY + sin_t * jnp.sin(phi)
+    lamZ = nZ + cos_t
+
+    refX = iX + 2.0 * cos_in * nX
+    refY = iY + 2.0 * cos_in * nY
+    refZ = iZ + 2.0 * cos_in * nZ
+
+    cos_out_sqr = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
+    cos_out = jnp.sqrt(jnp.maximum(0.0, cos_out_sqr))
+    r_perp = (eta * cos_in - cos_out) / (eta * cos_in + cos_out)
+    r_par = (cos_in - eta * cos_out) / (cos_in + eta * cos_out)
+    f_refl = 0.5 * (r_perp * r_perp + r_par * r_par)
+    refl = (cos_out_sqr <= 0.0) | (rw < f_refl)
+    k = eta * cos_in - cos_out
+    dieX = jnp.where(refl, refX, eta * iX + k * nX)
+    dieY = jnp.where(refl, refY, eta * iY + k * nY)
+    dieZ = jnp.where(refl, refZ, eta * iZ + k * nZ)
+    die_off = jnp.where(refl, _EPSILON, -_EPSILON)
+
+    is_lam = kind == 0.0
+    is_mir = kind == 1.0
+
+    out_dx = jnp.where(is_lam, lamX, jnp.where(is_mir, refX, dieX))
+    out_dy = jnp.where(is_lam, lamY, jnp.where(is_mir, refY, dieY))
+    out_dz = jnp.where(is_lam, lamZ, jnp.where(is_mir, refZ, dieZ))
+    off = jnp.where(is_lam | is_mir, _EPSILON, die_off)
+
+    ox = jnp.where(active, px + off * nX, ox)
+    oy = jnp.where(active, py + off * nY, oy)
+    oz = jnp.where(active, pz + off * nZ, oz)
+    dx = jnp.where(active, out_dx, dx)
+    dy = jnp.where(active, out_dy, dy)
+    dz = jnp.where(active, out_dz, dz)
+    tr = jnp.where(active, tr * alb_r, tr)
+    tg = jnp.where(active, tg * alb_g, tg)
+    tb = jnp.where(active, tb * alb_b, tb)
+    return (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+            rr, rg, rb, active)
+
+
+def _gen_rays_inkernel(cam_ref, pix, frame, jitter_salt, mode):
+    """In-kernel AA jitter + camera ray, mirroring rng.uniform2 +
+    models.camera.generate_rays_soa for the static camera mode."""
+    ju32, jv32, _ = _pcg3d(pix, frame, jnp.uint32(jitter_salt))
+    ju, jv = _unit(ju32), _unit(jv32)
+
+    width = cam_ref[CAM_W]
+    inv_w = cam_ref[CAM_INV_W]
+    inv_h = cam_ref[CAM_INV_H]
+    pix_f = pltpu.bitcast(pix, jnp.int32).astype(jnp.float32)
+    ys = jnp.floor(pix_f * (1.0 / width) )
+    rem = pix_f - ys * width
+    under = rem < 0.0
+    ys = jnp.where(under, ys - 1.0, ys)
+    rem = jnp.where(under, rem + width, rem)
+    over = rem >= width
+    ys = jnp.where(over, ys + 1.0, ys)
+    rem = jnp.where(over, rem - width, rem)
+    xs = rem
+
+    cx = (xs + ju) * inv_w
+    cy = 1.0 - (ys + jv) * inv_h
+
+    def m(r, c):
+        return cam_ref[CAM_M + 4 * r + c]
+
+    ones = jnp.ones_like(cx)
+    if mode == PINHOLE:
+        u = cam_ref[CAM_ASPECT] * (2.0 * cx - 1.0)
+        v = 2.0 * cy - 1.0
+        w = cam_ref[CAM_PROJ]
+        dx = m(0, 0) * u + m(0, 1) * v + m(0, 2) * w
+        dy = m(1, 0) * u + m(1, 1) * v + m(1, 2) * w
+        dz = m(2, 0) * u + m(2, 1) * v + m(2, 2) * w
+        inv = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+        return (m(0, 3) * ones, m(1, 3) * ones, m(2, 3) * ones,
+                dx * inv, dy * inv, dz * inv)
+    if mode == ORTHO:
+        u = cam_ref[CAM_ASPECT] * (2.0 * cx - 1.0) * cam_ref[CAM_PROJ]
+        v = (2.0 * cy - 1.0) * cam_ref[CAM_PROJ]
+        ox = m(0, 0) * u + m(0, 1) * v + m(0, 3)
+        oy = m(1, 0) * u + m(1, 1) * v + m(1, 3)
+        oz = m(2, 0) * u + m(2, 1) * v + m(2, 3)
+        return (ox, oy, oz, m(0, 2) * ones, m(1, 2) * ones, m(2, 2) * ones)
+    phi = cx * _TWO_PI
+    theta = cy * (0.5 * _TWO_PI)
+    sin_t = jnp.sin(theta)
+    lx = sin_t * jnp.cos(phi)
+    lz = sin_t * jnp.sin(phi)  # .xzy swizzle (camera.glsl:95)
+    ly = jnp.cos(theta)
+    dx = m(0, 0) * lx + m(0, 1) * ly + m(0, 2) * lz
+    dy = m(1, 0) * lx + m(1, 1) * ly + m(1, 2) * lz
+    dz = m(2, 0) * lx + m(2, 1) * ly + m(2, 2) * lz
+    return (m(0, 3) * ones, m(1, 3) * ones, m(2, 3) * ones, dx, dy, dz)
+
+
+def make_path_kernel(meta, salt_base, mint, nb, *, gen_rays, cam_mode,
+                     jitter_salt, carry_in, collect, style, is_last):
+    """Whole-path kernel for one bounce group (nb <= MAX_GROUP bounces)."""
+    n_tri = 17
+
+    def kernel(frame_ref, *refs):
+        pos = 0
+        cam_ref = None
+        if gen_rays:
+            cam_ref = refs[pos]
+            pos += 1
+        # Triangle tables stay refs (sliced per chunk inside the search);
+        # the small families are materialized whole.
+        tri = dict(zip(TRI_FIELDS, refs[pos:pos + 17]))
+        sph = dict(zip(SPH_FIELDS, refs[pos + 17:pos + 22]))
+        pln = dict(zip(PLN_FIELDS, refs[pos + 22:pos + 27]))
+        mat = dict(zip(MAT_FIELDS, refs[pos + 27:pos + 35]))
+        for d in (sph, pln, mat):
+            for k in d:
+                d[k] = d[k][...]
+        pos += 35
+        pix_ref = refs[pos]
+        pos += 1
+        frame = frame_ref[0]
+        pix = pix_ref[0]
+
+        if gen_rays:
+            ox, oy, oz, dx, dy, dz = _gen_rays_inkernel(
+                cam_ref, pix, frame, jitter_salt, cam_mode
+            )
+        else:
+            (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r) = refs[pos:pos + 6]
+            pos += 6
+            ox, oy, oz = ox_r[0], oy_r[0], oz_r[0]
+            dx, dy, dz = dx_r[0], dy_r[0], dz_r[0]
+        if carry_in:
+            (tr_r, tg_r, tb_r, cr_r, cg_r, cb_r,
+             rr_r, rg_r, rb_r, act_r) = refs[pos:pos + 10]
+            pos += 10
+            tr, tg, tb = tr_r[0], tg_r[0], tb_r[0]
+            cr, cg, cb = cr_r[0], cg_r[0], cb_r[0]
+            rr, rg, rb = rr_r[0], rg_r[0], rb_r[0]
+            active = act_r[0] > 0.0
+        else:
+            ones = jnp.ones((S, L), jnp.float32)
+            zeros = jnp.zeros((S, L), jnp.float32)
+            tr = tg = tb = ones
+            cr = cg = cb = rr = rg = rb = zeros
+            active = jnp.ones((S, L), bool)
+
+        outs = refs[pos:]
+        carry_out = outs[:16]
+        state_outs = outs[16:] if collect else ()
+
+        state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+                 rr, rg, rb, active)
+        for b in range(nb):
+            if collect:
+                # Save the 13 bounce-input fields: o, d, thr, col, active.
+                sl = slice(b * S, (b + 1) * S)
+                for f, val in enumerate(state[:12]):
+                    state_outs[f][0, sl, :] = val
+                state_outs[12][0, sl, :] = state[15].astype(jnp.float32)
+            winner = _search(tri, sph, pln, meta, *state[:6], mint)
+            if collect:
+                hitmask = state[15] & (winner[5] >= 0)
+                state_outs[13][0, sl, :] = jnp.where(hitmask, winner[5], -1)
+                state_outs[14][0, sl, :] = jnp.where(hitmask, winner[6], -1)
+            state = _shade(mat, meta, pix, frame, salt_base + b * 4,
+                           state, winner)
+
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+         rr, rg, rb, active) = state
+        if is_last and style == "standard":
+            rr = jnp.where(active, rr + cr, rr)
+            rg = jnp.where(active, rg + cg, rg)
+            rb = jnp.where(active, rb + cb, rb)
+        for ref, val in zip(
+            carry_out,
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, rr, rg, rb,
+             active.astype(jnp.float32)),
+        ):
+            ref[0] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "meta_key", "salt_base", "mint", "nb", "gen_rays", "cam_mode",
+    "jitter_salt", "carry_in", "collect", "style", "is_last", "interpret"))
+def _path_call(frame, cam_params, tables, pix, rays, carry, meta_key,
+               salt_base, mint, nb, gen_rays, cam_mode, jitter_salt,
+               carry_in, collect, style, is_last, interpret):
+    meta = dict(meta_key)
+    grid = pix.shape[0]
+    kern = make_path_kernel(
+        meta, salt_base, mint, nb, gen_rays=gen_rays, cam_mode=cam_mode,
+        jitter_salt=jitter_salt, carry_in=carry_in, collect=collect,
+        style=style, is_last=is_last,
+    )
+
+    def tab_spec(v):
+        return pl.BlockSpec(v.shape, lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, S, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((1, nb * S, L), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [frame.reshape(1)]
+    if gen_rays:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(cam_params)
+    in_specs += [tab_spec(v) for v in tables]
+    args += list(tables)
+    in_specs.append(row)
+    args.append(pix)
+    if not gen_rays:
+        in_specs += [row] * 6
+        args += list(rays)
+    if carry_in:
+        in_specs += [row] * 10
+        args += list(carry)
+
+    out_shapes = [jax.ShapeDtypeStruct((grid, S, L), jnp.float32)] * 16
+    out_specs = [row] * 16
+    if collect:
+        out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.float32)] * 13
+        out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.int32)] * 2
+        out_specs += [srow] * 15
+    return pl.pallas_call(
+        kern, grid=(grid,),
+        in_specs=in_specs, out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes), interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Backward (whole-chain pullback, one kernel per bounce group)
+# ---------------------------------------------------------------------------
+
+
+def make_bwd_kernel(meta, salt_base, nb, *, style, is_last, is_first):
+    """Pullback over one bounce group (reversed in-kernel, unrolled)."""
+    tri_rows = meta["tri_rows"]
+    sph_rows = meta["sph_rows"]
+    pln_rows = meta["pln_rows"]
+    mat_rows = meta["mat_rows"]
+
+    def kernel(frame_ref, *refs):
+        difftab = tuple(r[...] for r in refs[:24])
+        tmat, smat, pmat, mkind = (r[...] for r in refs[24:28])
+        pix_ref = refs[28]
+        states = refs[29:42]   # 13 saved fields, [1, nb*S, L]
+        fam_ref, idx_ref = refs[42], refs[43]
+        g_rows = refs[44:47]   # res cotangent (constant through the chain)
+        cot_in = refs[47:59]   # incoming (o,d,thr,col) cotangents
+        cot_out = refs[59:71]
+        gtab_refs = refs[71:95]
+
+        frame = frame_ref[0]
+        pix = pix_ref[0]
+        grr, grg, grb = g_rows[0][0], g_rows[1][0], g_rows[2][0]
+
+        def bounce_field(ref, b):
+            return ref[0, b * S:(b + 1) * S, :]
+
+        if is_last:
+            zeros = jnp.zeros((S, L), jnp.float32)
+            gox = goy = goz = gdx = gdy = gdz = zeros
+            gtr = gtg = gtb = zeros
+            if style == "standard":
+                act_in = bounce_field(states[12], nb - 1) > 0.0
+                fam_l = bounce_field(fam_ref, nb - 1)
+                act_fin = act_in & (fam_l >= 0)
+                gcr = jnp.where(act_fin, grr, 0.0)
+                gcg = jnp.where(act_fin, grg, 0.0)
+                gcb = jnp.where(act_fin, grb, 0.0)
+            else:
+                gcr = gcg = gcb = zeros
+        else:
+            (gox, goy, goz, gdx, gdy, gdz,
+             gtr, gtg, gtb, gcr, gcg, gcb) = (r[0] for r in cot_in)
+
+        gtabs = None
+        for b in reversed(range(nb)):
+            fam = bounce_field(fam_ref, b)
+            idx = bounce_field(idx_ref, b)
+            act_in = bounce_field(states[12], b) > 0.0
+            hit = fam >= 0
+            active = act_in & hit
+            miss_now = act_in & ~hit
+
+            ru, rv, rw = _rng(pix, frame, salt_base + b * 4)
+
+            def onehot(rows, safe_idx):
+                ri = jax.lax.broadcasted_iota(jnp.int32, (rows, S, L), 0)
+                return ri == safe_idx[None]
+
+            def sel(oh, col):
+                return jnp.sum(jnp.where(oh, col, 0.0), axis=0)
+
+            mat_id = jnp.zeros((S, L), jnp.int32)
+            tri_oh = sph_oh = pln_oh = None
+            m_tri = m_sph = m_pln = None
+            if meta["has_tri"]:
+                tri_oh = onehot(tri_rows, jnp.clip(idx, 0, meta["num_tri"] - 1))
+                m_tri = fam == 0
+                mat_id = jnp.where(m_tri, sel(tri_oh, tmat).astype(jnp.int32),
+                                   mat_id)
+            if meta["has_sph"]:
+                sph_oh = onehot(sph_rows, jnp.clip(idx, 0, meta["num_sph"] - 1))
+                m_sph = fam == 1
+                mat_id = jnp.where(m_sph, sel(sph_oh, smat).astype(jnp.int32),
+                                   mat_id)
+            if meta["has_pln"]:
+                pln_oh = onehot(pln_rows, jnp.clip(idx, 0, meta["num_pln"] - 1))
+                m_pln = fam == 2
+                mat_id = jnp.where(m_pln, sel(pln_oh, pmat).astype(jnp.int32),
+                                   mat_id)
+            mat_oh = onehot(mat_rows, jnp.clip(mat_id, 0, meta["num_mat"] - 1))
+            kind = sel(mat_oh, mkind)
+            is_lam = kind == 0.0
+            is_mir = kind == 1.0
+
+            # The winner-attribute lookups run OUTSIDE the vjp'd function, so
+            # autodiff only ever sees [S, L] values: the transpose of the
+            # [rows,1,1]->[rows,S,L] broadcast is a single reduce over axes
+            # (1, 2), which the Mosaic compiler cannot lower (layout.h check,
+            # reproduced on v5e).  The lookup pullback is hand-written below
+            # as masked two-step reductions instead.
+            zeros_sl = jnp.zeros((S, L), jnp.float32)
+            lk = []
+            lk += ([sel(tri_oh, c) for c in difftab[0:9]]
+                   if meta["has_tri"] else [zeros_sl] * 9)
+            lk += ([sel(sph_oh, c) for c in difftab[9:13]]
+                   if meta["has_sph"] else [zeros_sl] * 4)
+            lk += ([sel(pln_oh, c) for c in difftab[13:17]]
+                   if meta["has_pln"] else [zeros_sl] * 4)
+            lk += [sel(mat_oh, c) for c in difftab[17:24]]
+
+            def f(ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, *tabs):
+                (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z,
+                 cx, cy, cz, r, lnx, lny, lnz, doff,
+                 alb_r, alb_g, alb_b, em_r, em_g, em_b, ior) = tabs
+
+                t = jnp.zeros((S, L), jnp.float32)
+                wnx = jnp.zeros((S, L), jnp.float32)
+                wny = jnp.zeros((S, L), jnp.float32)
+                wnz = jnp.zeros((S, L), jnp.float32)
+
+                if meta["has_tri"]:
+                    e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
+                    e1x, e1y, e1z = v2x - v0x, v2y - v0y, v2z - v0z
+                    nx = e0y * e1z - e0z * e1y
+                    ny = e0z * e1x - e0x * e1z
+                    nz = e0x * e1y - e0y * e1x
+                    dn = dx * nx + dy * ny + dz * nz
+                    t_t = _safe_div(
+                        (v0x - ox) * nx + (v0y - oy) * ny + (v0z - oz) * nz, dn
+                    )
+                    t = jnp.where(m_tri, jnp.clip(t_t, -1e6, 1e6), t)
+                    wnx = jnp.where(m_tri, nx, wnx)
+                    wny = jnp.where(m_tri, ny, wny)
+                    wnz = jnp.where(m_tri, nz, wnz)
+
+                if meta["has_sph"]:
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                    dd = dx * dx + dy * dy + dz * dz
+                    bh = dx * ocx + dy * ocy + dz * ocz
+                    ct = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                    disc = jnp.maximum(bh * bh - dd * ct, 1e-12)
+                    sq = jnp.sqrt(disc)
+                    t0 = _safe_div(-bh - sq, dd)
+                    t1 = _safe_div(-bh + sq, dd)
+                    t_s = jnp.where(t0 > 0.0, t0, t1)
+                    t_s = jnp.where(m_sph, jnp.clip(t_s, -1e6, 1e6), 0.0)
+                    t = jnp.where(m_sph, t_s, t)
+                    wnx = jnp.where(m_sph, ox + t_s * dx - cx, wnx)
+                    wny = jnp.where(m_sph, oy + t_s * dy - cy, wny)
+                    wnz = jnp.where(m_sph, oz + t_s * dz - cz, wnz)
+
+                if meta["has_pln"]:
+                    dn = dx * lnx + dy * lny + dz * lnz
+                    t_p = _safe_div(doff - (ox * lnx + oy * lny + oz * lnz), dn)
+                    t = jnp.where(m_pln, jnp.clip(t_p, -1e6, 1e6), t)
+                    wnx = jnp.where(m_pln, lnx, wnx)
+                    wny = jnp.where(m_pln, lny, wny)
+                    wnz = jnp.where(m_pln, lnz, wnz)
+
+                sky_t = dy * 0.5 + 0.5
+                ra = jnp.where(miss_now, cr + tr * (_WHITE[0] + (_BLUE[0] - _WHITE[0]) * sky_t), 0.0)
+                ga = jnp.where(miss_now, cg + tg * (_WHITE[1] + (_BLUE[1] - _WHITE[1]) * sky_t), 0.0)
+                ba = jnp.where(miss_now, cb + tb * (_WHITE[2] + (_BLUE[2] - _WHITE[2]) * sky_t), 0.0)
+
+                cr2 = jnp.where(active, cr + tr * em_r, cr)
+                cg2 = jnp.where(active, cg + tg * em_g, cg)
+                cb2 = jnp.where(active, cb + tb * em_b, cb)
+
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+                inv_nl = _rsqrt_safe(wnx * wnx + wny * wny + wnz * wnz)
+                nX, nY, nZ = wnx * inv_nl, wny * inv_nl, wnz * inv_nl
+                inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+                iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
+
+                cos_view = iX * nX + iY * nY + iZ * nZ
+                flipped = cos_view > 0.0
+                cos_in = jnp.abs(cos_view)
+                nX = jnp.where(flipped, -nX, nX)
+                nY = jnp.where(flipped, -nY, nY)
+                nZ = jnp.where(flipped, -nZ, nZ)
+                eta = jnp.where(flipped, ior, 1.0 / jnp.maximum(ior, 1e-8))
+
+                phi = _TWO_PI * ru
+                cos_t = 1.0 - 2.0 * rv
+                sin_t = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_t * cos_t))
+                lamX = nX + sin_t * jnp.cos(phi)
+                lamY = nY + sin_t * jnp.sin(phi)
+                lamZ = nZ + cos_t
+
+                refX = iX + 2.0 * cos_in * nX
+                refY = iY + 2.0 * cos_in * nY
+                refZ = iZ + 2.0 * cos_in * nZ
+
+                cos_out_sqr = 1.0 - eta * eta * (1.0 - cos_in * cos_in)
+                cos_out = jnp.sqrt(jnp.maximum(1e-12, cos_out_sqr))
+                r_perp = (eta * cos_in - cos_out) / (eta * cos_in + cos_out)
+                r_par = (cos_in - eta * cos_out) / (cos_in + eta * cos_out)
+                f_refl = 0.5 * (r_perp * r_perp + r_par * r_par)
+                refl = jax.lax.stop_gradient(
+                    (cos_out_sqr <= 0.0) | (rw < f_refl)
+                )
+                k = eta * cos_in - cos_out
+                dieX = jnp.where(refl, refX, eta * iX + k * nX)
+                dieY = jnp.where(refl, refY, eta * iY + k * nY)
+                dieZ = jnp.where(refl, refZ, eta * iZ + k * nZ)
+                die_off = jnp.where(refl, _EPSILON, -_EPSILON)
+
+                out_dx = jnp.where(is_lam, lamX, jnp.where(is_mir, refX, dieX))
+                out_dy = jnp.where(is_lam, lamY, jnp.where(is_mir, refY, dieY))
+                out_dz = jnp.where(is_lam, lamZ, jnp.where(is_mir, refZ, dieZ))
+                off = jnp.where(is_lam | is_mir, _EPSILON, die_off)
+
+                ox2 = jnp.where(active, px + off * nX, ox)
+                oy2 = jnp.where(active, py + off * nY, oy)
+                oz2 = jnp.where(active, pz + off * nZ, oz)
+                dx2 = jnp.where(active, out_dx, dx)
+                dy2 = jnp.where(active, out_dy, dy)
+                dz2 = jnp.where(active, out_dz, dz)
+                tr2 = jnp.where(active, tr * alb_r, tr)
+                tg2 = jnp.where(active, tg * alb_g, tg)
+                tb2 = jnp.where(active, tb * alb_b, tb)
+                return (ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
+                        cr2, cg2, cb2, ra, ga, ba)
+
+            primals = tuple(
+                bounce_field(states[f], b) for f in range(12)
+            ) + tuple(lk)
+            _, pullback = jax.vjp(f, *primals)
+            cots = pullback((gox, goy, goz, gdx, gdy, gdz, gtr, gtg, gtb,
+                             gcr, gcg, gcb, grr, grg, grb))
+            (gox, goy, goz, gdx, gdy, gdz,
+             gtr, gtg, gtb, gcr, gcg, gcb) = cots[:12]
+
+            # Hand pullback of the lookups: scatter each looked-up value's
+            # [S, L] cotangent back to its table rows via the one-hot mask,
+            # reducing sublanes and lanes in two single-axis sums.
+            def scatter(oh, g):
+                gb = jnp.where(oh, g[None], 0.0)
+                return jnp.sum(
+                    jnp.sum(gb, axis=2, keepdims=True), axis=1, keepdims=True
+                )
+
+            step = []
+            for i in range(24):
+                oh = (tri_oh if i < 9 else sph_oh if i < 13
+                      else pln_oh if i < 17 else mat_oh)
+                if oh is None:
+                    step.append(jnp.zeros_like(difftab[i]))
+                else:
+                    step.append(scatter(oh, cots[12 + i]))
+            gtabs = step if gtabs is None else tuple(
+                a + s for a, s in zip(gtabs, step)
+            )
+
+        for ref, val in zip(cot_out, (gox, goy, goz, gdx, gdy, gdz,
+                                      gtr, gtg, gtb, gcr, gcg, gcb)):
+            ref[0] = val
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in gtab_refs:
+                r[...] = jnp.zeros(r.shape, r.dtype)
+
+        for r, val in zip(gtab_refs, gtabs):
+            r[...] = r[...] + val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "meta_key", "salt_base", "nb", "style", "is_last", "is_first",
+    "interpret"))
+def _bwd_call(frame, tables, pix, states, fam, idx, g_rows, cot_in,
+              meta_key, salt_base, nb, style, is_last, is_first, interpret):
+    meta = dict(meta_key)
+    grid = pix.shape[0]
+    kern = make_bwd_kernel(meta, salt_base, nb, style=style,
+                           is_last=is_last, is_first=is_first)
+
+    def tab_spec(v):
+        return pl.BlockSpec(v.shape, lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, S, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((1, nb * S, L), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [tab_spec(v) for v in tables]
+                + [row] + [srow] * 15 + [row] * 15)
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((grid, S, L), jnp.float32)] * 12
+        + [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tables[:24]]
+    )
+    out_specs = tuple([row] * 12 + [tab_spec(t) for t in tables[:24]])
+    return pl.pallas_call(
+        kern, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(frame.reshape(1), *tables, pix, *states, fam, idx, *g_rows, *cot_in)
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver
+# ---------------------------------------------------------------------------
+
+
+def _to_tiles(x, fill=0.0):
+    """Flat [N] -> [grid, S, L] (padded)."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(-1, S, L)
+
+
+def _from_tiles(x, n):
+    return x.reshape(-1)[:n]
+
+
+def _groups(max_bounces):
+    nb = int(max_bounces)
+    out = []
+    start = 0
+    while start < nb:
+        g = min(MAX_GROUP, nb - start)
+        out.append((start, g))
+        start += g
+    return out
+
+
+class PathTracer:
+    """Whole-path fused tracer for a scene: the TPU megakernel."""
+
+    def __init__(self, scene: Scene, mint: float = 0.0):
+        self.scene = scene
+        self.mint = float(mint)
+        self.tables, self.meta = pack_fwd(scene)
+        self.meta_key = tuple(sorted(self.meta.items()))
+
+    def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
+              style="reference", interpret=False, collect_states=False,
+              gen_rays=False, cam_params=None, cam_mode=PINHOLE,
+              jitter_salt=0):
+        """Trace full paths.  Returns (r, g, b) flat [N] radiance — plus,
+        with ``collect_states``, the residual record for bwd_path.
+
+        With ``gen_rays`` the kernel generates camera rays itself from the
+        pixel ids (origin/direction are ignored; pass None) — cam_params is
+        the f32[24] vector from camera_params()."""
+        n = pixel.shape[0]
+        pix = _to_tiles(pixel)
+        if gen_rays:
+            rays = None
+        else:
+            if isinstance(origin, tuple):
+                o0, o1, o2 = origin
+                d0, d1, d2 = direction
+            else:
+                o0, o1, o2 = origin[:, 0], origin[:, 1], origin[:, 2]
+                d0, d1, d2 = direction[:, 0], direction[:, 1], direction[:, 2]
+            rays = tuple(_to_tiles(c) for c in (o0, o1, o2, d0, d1, d2))
+
+        frame = jnp.asarray(frame, jnp.uint32)
+        groups = _groups(max_bounces)
+        carry = None
+        records = []
+        for gi, (start, g) in enumerate(groups):
+            outs = _path_call(
+                frame, cam_params, self.tables, pix,
+                rays if gi == 0 else tuple(carry[:6]),
+                tuple(carry[6:]) if gi > 0 else None,
+                self.meta_key, int(salt_base) + start * 4, self.mint, g,
+                gen_rays and gi == 0, cam_mode, int(jitter_salt),
+                gi > 0, collect_states, style, gi == len(groups) - 1,
+                interpret,
+            )
+            carry = outs[:16]
+            if collect_states:
+                records.append((g, outs[16:29], outs[29], outs[30]))
+
+        rr, rg, rb = carry[12], carry[13], carry[14]
+        res = (_from_tiles(rr, n), _from_tiles(rg, n), _from_tiles(rb, n))
+        if collect_states:
+            record = dict(pix=pix, groups=tuple(records))
+            return res, record
+        return res
+
+    def hits_from_record(self, record, n, max_bounces):
+        """Per-bounce (fams, idxs) i32[B, N] from a collect_states record —
+        the flat hit-record layout of the SoA replay path."""
+        fams, idxs = [], []
+        for g, _, fam, idx in record["groups"]:
+            for b in range(g):
+                fams.append(_from_tiles(fam[:, b * S:(b + 1) * S, :], n))
+                idxs.append(_from_tiles(idx[:, b * S:(b + 1) * S, :], n))
+        return jnp.stack(fams), jnp.stack(idxs)
+
+
+def bwd_path(scene, record, frame, g_rows, salt_base: int, style: str,
+             interpret: bool = False):
+    """Whole-chain pullback from a collect_states record.
+
+    g_rows: (gr, gg, gb) cotangent tiles [grid, S, L].  Returns
+    (gtabs 24-tuple in DIFF_FIELDS order, g_origin rows, g_direction rows).
+    """
+    tables, meta = pack_bwd(scene)
+    meta_key = tuple(sorted(meta.items()))
+    frame = jnp.asarray(frame, jnp.uint32)
+    pix = record["pix"]
+    groups = record["groups"]
+
+    zero = jnp.zeros_like(g_rows[0])
+    cot = (zero,) * 12
+    gtabs = None
+    start = sum(g for g, _, _, _ in groups)
+    for gi in reversed(range(len(groups))):
+        g, states, fam, idx = groups[gi]
+        start -= g
+        outs = _bwd_call(
+            frame, tables, pix, tuple(states), fam, idx, tuple(g_rows),
+            tuple(cot), meta_key, int(salt_base) + start * 4, g, style,
+            gi == len(groups) - 1, gi == 0, interpret,
+        )
+        cot = outs[:12]
+        step = outs[12:]
+        gtabs = step if gtabs is None else tuple(
+            a + s for a, s in zip(gtabs, step)
+        )
+    return gtabs, cot[0:3], cot[3:6]
+
+
+def scene_grads_from_tables(scene, gtabs):
+    """Unpad [rows,1,1] table-grad columns to scene-shaped leaf grads."""
+    g = {k: v[:, 0, 0] for k, v in zip(DIFF_FIELDS, gtabs)}
+    t, s, p = scene.num_triangles, scene.num_spheres, scene.num_planes
+    m = scene.materials.count
+
+    def v3(a, b, c, n):
+        return jnp.stack([g[a][:n], g[b][:n], g[c][:n]], axis=-1)
+
+    zero3 = jnp.zeros((0, 3), jnp.float32)
+    out = {}
+    out["tri_v0"] = v3("tv0x", "tv0y", "tv0z", t) if t else zero3
+    out["tri_v1"] = v3("tv1x", "tv1y", "tv1z", t) if t else zero3
+    out["tri_v2"] = v3("tv2x", "tv2y", "tv2z", t) if t else zero3
+    out["sph_center"] = v3("scx", "scy", "scz", s) if s else zero3
+    out["sph_radius"] = g["srad"][:s]
+    out["pln_normal"] = v3("pnx", "pny", "pnz", p) if p else zero3
+    out["pln_d"] = g["pd"][:p]
+    out["albedo"] = v3("mar", "mag", "mab", m)
+    out["emission"] = v3("mer", "meg", "meb", m)
+    out["ior"] = g["mior"][:m]
+    return out
+
+
+def camera_params(cam, cfg) -> jnp.ndarray:
+    """f32[24] camera/film parameter vector for in-kernel ray generation."""
+    from ..core.math import PI
+    from ..models.camera import ORTHO as CAM_ORTHO
+    from ..models.camera import camera_matrix
+
+    m = camera_matrix(cam)
+    if cam.mode == CAM_ORTHO:
+        proj = cam.scale
+    else:
+        proj = 1.0 / jnp.tan(0.5 * cam.fov * (PI / 180.0))
+    return jnp.concatenate([
+        m.reshape(16),
+        jnp.asarray([cam.aspect], jnp.float32),
+        jnp.asarray(proj, jnp.float32).reshape(1),
+        jnp.asarray([1.0 / cfg.width, 1.0 / cfg.height,
+                     float(cfg.width)], jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+    ]).astype(jnp.float32)

@@ -131,22 +131,23 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
         return render_sample_chw(scene, camera, settings, cfg, frame)
 
     from .models.integrators import AA_STRIDE
-    from .ops.megakernel import MegakernelRenderer
+    from .ops.pathkernel import PathTracer, camera_params
 
-    mk = MegakernelRenderer(scene)
-    pixel, xs, ys = _pixel_grid(cfg)
+    pt = PathTracer(scene)
+    cam_params = camera_params(camera, cfg)
+    pixel, _, _ = _pixel_grid(cfg)
     frame = jnp.asarray(frame, jnp.uint32)
     acc_r = acc_g = acc_b = 0.0
     for i in range(settings.aa):
         salt0 = i * AA_STRIDE
-        ju, jv = rng.uniform2(pixel, frame, jnp.uint32(salt0 + _JITTER_SITE))
-        cx = (xs.astype(jnp.float32) + ju) / cfg.width
-        cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
-        o_comps_and_d = camera_mod.generate_rays_soa(camera, cx, cy)
-        r, g, b = mk.trace(
-            pixel, o_comps_and_d[:3], o_comps_and_d[3:], frame,
+        # Jitter + camera ray generation run inside the path kernel — the
+        # film output is the only ray-sized HBM traffic of the frame.
+        r, g, b = pt.trace(
+            pixel, None, None, frame,
             salt_base=salt0 + _INTEGRATOR_SITE,
             max_bounces=settings.max_bounces, style=settings.style,
+            gen_rays=True, cam_params=cam_params, cam_mode=camera.mode,
+            jitter_salt=salt0 + _JITTER_SITE,
         )
         acc_r = acc_r + r
         acc_g = acc_g + g

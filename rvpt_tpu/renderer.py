@@ -63,7 +63,15 @@ class Renderer:
         self.timer = FrameTimer()
         self._prev_state = None
         self._host_bvh: Optional[BvhHost] = None
-        self._image = None
+        self._image = None       # cached host HWC copy (lazy)
+        self._image_dev = None   # last accumulated frame, CHW, on device
+
+    @property
+    def image(self) -> Optional[np.ndarray]:
+        """Last accumulated frame as host HWC f32 (lazy device fetch)."""
+        if self._image is None and self._image_dev is not None:
+            self._image = np.moveaxis(np.asarray(self._image_dev), 0, -1)
+        return self._image
 
     # ------------------------------------------------------------------ scene
     def set_scene(self, scene: Scene, use_bvh: bool = False) -> None:
@@ -85,7 +93,8 @@ class Renderer:
     # ------------------------------------------------------------------ frame
     def draw(self):
         """Render one frame: dirty-check -> jitted sample+EMA -> stats.
-        Returns the accumulated image (f32[H,W,3], device array)."""
+        Returns the accumulated image (f32[3,H,W], device array; use the
+        ``image`` property for a host HWC copy)."""
         state = _state_fingerprint(self.camera, self.settings)
         dirty = state != self._prev_state
         self._prev_state = state
@@ -105,9 +114,13 @@ class Renderer:
             )
         image.block_until_ready()
         self.timer.frame_stop()
-        # display/debug consumers want HWC; the device film stays CHW
-        self._image = np.moveaxis(np.asarray(image), 0, -1)
-        return self._image
+        # The image stays ON DEVICE between frames — a per-frame host fetch
+        # costs ~25 ms through the TPU tunnel (measured, 512^2 film) and the
+        # steady-state loop never looks at the pixels.  Host consumers
+        # (save_image, debug_view) fetch lazily via the ``image`` property.
+        self._image_dev = image
+        self._image = None
+        return image
 
     @property
     def rays_per_frame(self) -> int:
@@ -148,7 +161,7 @@ class Renderer:
         last rendered frame (reference debug raster + BVH views)."""
         from .utils import debug_draw
 
-        base = np.asarray(self._image) if self._image is not None else np.zeros(
+        base = self.image if self.image is not None else np.zeros(
             (self.film_cfg.height, self.film_cfg.width, 3), np.float32
         )
         if kind == "triangles":
@@ -159,9 +172,9 @@ class Renderer:
 
     # ------------------------------------------------------------ persistence
     def save_image(self, path: str) -> None:
-        if self._image is None:
+        if self._image_dev is None:
             self.draw()
-        write_png(path, np.asarray(to_srgb_u8(jnp.asarray(self._image))))
+        write_png(path, np.asarray(to_srgb_u8(jnp.asarray(self.image))))
 
     def save_checkpoint(self, path: str) -> None:
         ckpt.save(

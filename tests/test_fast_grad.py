@@ -11,7 +11,7 @@ from rvpt_tpu import FilmConfig, RenderSettings
 from rvpt_tpu.core.types import Ray
 from rvpt_tpu.models.integrators import integrator_kajiya
 from rvpt_tpu.ops.fast_grad import kajiya_from_hits, make_fast_kajiya
-from rvpt_tpu.ops.megakernel import MegakernelRenderer
+from rvpt_tpu.ops.pathkernel import PathTracer
 from rvpt_tpu.scene import builtin
 
 
@@ -36,11 +36,12 @@ def test_replay_matches_integrator():
     radiance."""
     scene, pixel, ray = setup()
     frame = jnp.uint32(2)
-    mk = MegakernelRenderer(scene)
-    (r, g, b), fams, idxs = mk.trace(
-        pixel, ray.origin, ray.direction, frame, 16, 3, collect_hits=True,
+    pt = PathTracer(scene)
+    (r, g, b), record = pt.trace(
+        pixel, ray.origin, ray.direction, frame, 16, 3, collect_states=True,
         interpret=True,
     )
+    fams, idxs = pt.hits_from_record(record, pixel.shape[0], 3)
     mk_img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
     replay = np.asarray(
         kajiya_from_hits(scene, ray, pixel, frame, 16, fams, idxs)
@@ -104,11 +105,12 @@ def test_replay_soa_matches_reference_replay():
 
     scene, pixel, ray = setup()
     frame = jnp.uint32(2)
-    mk = MegakernelRenderer(scene)
-    _, fams, idxs = mk.trace(
+    pt = PathTracer(scene)
+    _, record = pt.trace(
         pixel, ray.origin, ray.direction, frame, 16, 3, style="standard",
-        collect_hits=True, interpret=True,
+        collect_states=True, interpret=True,
     )
+    fams, idxs = pt.hits_from_record(record, pixel.shape[0], 3)
     a = np.asarray(
         kajiya_from_hits(scene, ray, pixel, frame, 16, fams, idxs, "standard")
     )
@@ -143,7 +145,7 @@ def test_replay_soa_matches_reference_replay():
 
 
 def test_pallas_backward_matches_soa_backward():
-    """The fused Pallas pullback (ops.backward_pk) == XLA reverse-AD of the
+    """The fused Pallas pullback (ops.pathkernel.bwd_path) == XLA reverse-AD of the
     SoA replay, on every differentiable scene leaf plus ray origin/direction,
     for both termination styles and both primitive mixes (tri+sphere scene,
     sphere+plane scene)."""

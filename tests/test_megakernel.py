@@ -1,4 +1,4 @@
-"""Megakernel vs XLA Kajiya equivalence (Pallas interpreter on CPU)."""
+"""Fused path kernel vs XLA Kajiya equivalence (Pallas interpreter on CPU)."""
 
 import dataclasses
 
@@ -10,7 +10,7 @@ from rvpt_tpu import FilmConfig, RenderSettings
 from rvpt_tpu.core.types import Ray
 from rvpt_tpu.models import camera as camera_mod
 from rvpt_tpu.models.integrators import integrator_kajiya
-from rvpt_tpu.ops.megakernel import MegakernelRenderer
+from rvpt_tpu.ops.pathkernel import PathTracer
 from rvpt_tpu.scene import builtin
 
 
@@ -41,7 +41,7 @@ def test_megakernel_matches_xla(scene_name, style):
         integrator_kajiya(scene, ray, pixel, frame, st, salt_base=jnp.uint32(16))
     )
 
-    mk = MegakernelRenderer(scene)
+    mk = PathTracer(scene)
     r, g, b = mk.trace(
         pixel, ray.origin, ray.direction, frame, salt_base=16,
         max_bounces=3, style=style, interpret=True,
@@ -66,7 +66,7 @@ def test_megakernel_empty_families():
     cfg = FilmConfig(width=16, height=8)
     cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
     pixel, ray = _rays(cfg, cam)
-    mk = MegakernelRenderer(scene)
+    mk = PathTracer(scene)
     r, g, bch = mk.trace(pixel, ray.origin, ray.direction, 0, 16, 2,
                          interpret=True)
     assert np.isfinite(np.asarray(r)).all()
@@ -75,7 +75,7 @@ def test_megakernel_empty_families():
     m2 = b2.add_material(albedo=(0.5, 0.5, 0.5))
     b2.add_sphere((0, 0, 4), 1.0, m2)
     scene2 = b2.build()
-    mk2 = MegakernelRenderer(scene2)
+    mk2 = PathTracer(scene2)
     r2, _, _ = mk2.trace(pixel, ray.origin, ray.direction, 0, 16, 2,
                          interpret=True)
     assert np.isfinite(np.asarray(r2)).all()
