@@ -107,32 +107,37 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
             scene_template, salt_base, max_bounces, style, interpret
         )
 
-    def _fwd_trace(scene, origin, direction, pixel, frame):
+    def _fwd_trace(scene, origin, direction, pixel, frame, salt):
         pt = PathTracer(scene)
         (r, g, b), record = pt.trace(
-            pixel, origin, direction, frame, salt_base, max_bounces,
-            style=style, interpret=interpret, collect_states=True,
+            pixel, origin, direction, frame,
+            jnp.asarray(salt, jnp.uint32) + jnp.uint32(salt_base),
+            max_bounces, style=style, interpret=interpret,
+            collect_states=True,
         )
         fams, idxs = pt.hits_from_record(record, pixel.shape[0], max_bounces)
         return jnp.stack([r, g, b], axis=-1), fams, idxs
 
     @jax.custom_vjp
-    def trace(scene, origin, direction, pixel, frame):
-        out, _, _ = _fwd_trace(scene, origin, direction, pixel, frame)
+    def trace6(scene, origin, direction, pixel, frame, salt):
+        out, _, _ = _fwd_trace(scene, origin, direction, pixel, frame, salt)
         return out
 
-    def fwd(scene, origin, direction, pixel, frame):
-        out, fams, idxs = _fwd_trace(scene, origin, direction, pixel, frame)
-        return out, (scene, origin, direction, pixel, frame, fams, idxs)
+    def fwd(scene, origin, direction, pixel, frame, salt):
+        out, fams, idxs = _fwd_trace(
+            scene, origin, direction, pixel, frame, salt
+        )
+        return out, (scene, origin, direction, pixel, frame, salt, fams, idxs)
 
     def bwd(res, g):
-        scene, origin, direction, pixel, frame, fams, idxs = res
+        scene, origin, direction, pixel, frame, salt, fams, idxs = res
         from .replay_soa import kajiya_replay_soa
 
         def replay(scene, o, d):
             return kajiya_replay_soa(
-                scene, o, d, pixel, frame, jnp.uint32(salt_base), fams, idxs,
-                style,
+                scene, o, d, pixel, frame,
+                jnp.asarray(salt, jnp.uint32) + jnp.uint32(salt_base),
+                fams, idxs, style,
             )
 
         _, vjp_fn = jax.vjp(replay, scene, origin, direction)
@@ -144,9 +149,15 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
             g_d,
             np.zeros(pixel.shape, f0),
             np.zeros(frame.shape, f0),
+            np.zeros(jnp.shape(salt), f0),
         )
 
-    trace.defvjp(fwd, bwd)
+    trace6.defvjp(fwd, bwd)
+
+    def trace(scene, origin, direction, pixel, frame, salt=0):
+        return trace6(scene, origin, direction, pixel, frame,
+                      jnp.asarray(salt, jnp.uint32))
+
     return trace
 
 
@@ -165,29 +176,32 @@ def _make_fast_kajiya_pk(scene_template, salt_base: int, max_bounces: int,
     from .pathkernel import (PathTracer, _from_tiles, _to_tiles, bwd_path,
                              scene_grads_from_tables)
 
-    def _fwd_trace(scene, origin, direction, pixel, frame):
+    def _fwd_trace(scene, origin, direction, pixel, frame, salt):
         pt = PathTracer(scene)
         (r, g, b), record = pt.trace(
-            pixel, origin, direction, frame, salt_base, max_bounces,
-            style=style, interpret=interpret, collect_states=True,
+            pixel, origin, direction, frame,
+            jnp.asarray(salt, jnp.uint32) + jnp.uint32(salt_base),
+            max_bounces, style=style, interpret=interpret,
+            collect_states=True,
         )
         return jnp.stack([r, g, b], axis=-1), record
 
     @jax.custom_vjp
-    def trace(scene, origin, direction, pixel, frame):
-        out, _ = _fwd_trace(scene, origin, direction, pixel, frame)
+    def trace6(scene, origin, direction, pixel, frame, salt):
+        out, _ = _fwd_trace(scene, origin, direction, pixel, frame, salt)
         return out
 
-    def fwd(scene, origin, direction, pixel, frame):
-        out, record = _fwd_trace(scene, origin, direction, pixel, frame)
-        return out, (scene, record, frame)
+    def fwd(scene, origin, direction, pixel, frame, salt):
+        out, record = _fwd_trace(scene, origin, direction, pixel, frame, salt)
+        return out, (scene, record, frame, salt)
 
     def bwd(res, g):
-        scene, record, frame = res
+        scene, record, frame, salt = res
         n = g.shape[0]
         g_rows = tuple(_to_tiles(g[:, k]) for k in range(3))
         gtabs, go, gd = bwd_path(
-            scene, record, frame, g_rows, salt_base, style,
+            scene, record, frame, g_rows,
+            jnp.asarray(salt, jnp.uint32) + jnp.uint32(salt_base), style,
             interpret=interpret,
         )
         grads = scene_grads_from_tables(scene, gtabs)
@@ -215,7 +229,15 @@ def _make_fast_kajiya_pk(scene_template, salt_base: int, max_bounces: int,
             unrow(gd),
             np.zeros((n,), f0),
             np.zeros(jnp.shape(frame), f0),
+            np.zeros(jnp.shape(salt), f0),
         )
 
-    trace.defvjp(fwd, bwd)
+    trace6.defvjp(fwd, bwd)
+
+    def trace(scene, origin, direction, pixel, frame, salt=0):
+        """salt: extra traced u32 RNG-stream offset (e.g. per spp rank),
+        added to the static salt_base."""
+        return trace6(scene, origin, direction, pixel, frame,
+                      jnp.asarray(salt, jnp.uint32))
+
     return trace

@@ -229,7 +229,7 @@ def _rsqrt_safe(x):
 
 
 def _rng(pix, frame, salt):
-    a, b, c = _pcg3d(pix, frame, jnp.uint32(salt))
+    a, b, c = _pcg3d(pix, frame, jnp.asarray(salt, jnp.uint32))
     return _unit(a), _unit(b), _unit(c)
 
 
@@ -446,7 +446,7 @@ def _shade(mat, meta, pix, frame, salt, state, winner):
 def _gen_rays_inkernel(cam_ref, pix, frame, jitter_salt, mode):
     """In-kernel AA jitter + camera ray, mirroring rng.uniform2 +
     models.camera.generate_rays_soa for the static camera mode."""
-    ju32, jv32, _ = _pcg3d(pix, frame, jnp.uint32(jitter_salt))
+    ju32, jv32, _ = _pcg3d(pix, frame, jnp.asarray(jitter_salt, jnp.uint32))
     ju, jv = _unit(ju32), _unit(jv32)
 
     width = cam_ref[CAM_W]
@@ -499,12 +499,15 @@ def _gen_rays_inkernel(cam_ref, pix, frame, jitter_salt, mode):
     return (m(0, 3) * ones, m(1, 3) * ones, m(2, 3) * ones, dx, dy, dz)
 
 
-def make_path_kernel(meta, salt_base, mint, nb, *, gen_rays, cam_mode,
-                     jitter_salt, carry_in, collect, style, is_last):
-    """Whole-path kernel for one bounce group (nb <= MAX_GROUP bounces)."""
-    n_tri = 17
+def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
+                     carry_in, collect, style, is_last):
+    """Whole-path kernel for one bounce group (nb <= MAX_GROUP bounces).
 
-    def kernel(frame_ref, *refs):
+    RNG counters (frame, salt_base, jitter_salt) arrive as traced SMEM
+    scalars, so ONE compilation serves every frame, AA sample, spp rank and
+    bounce-group offset."""
+
+    def kernel(ctl_ref, *refs):
         pos = 0
         cam_ref = None
         if gen_rays:
@@ -522,7 +525,9 @@ def make_path_kernel(meta, salt_base, mint, nb, *, gen_rays, cam_mode,
         pos += 35
         pix_ref = refs[pos]
         pos += 1
-        frame = frame_ref[0]
+        frame = ctl_ref[0]
+        salt_base = ctl_ref[1]
+        jitter_salt = ctl_ref[2]
         pix = pix_ref[0]
 
         if gen_rays:
@@ -567,8 +572,8 @@ def make_path_kernel(meta, salt_base, mint, nb, *, gen_rays, cam_mode,
                 hitmask = state[15] & (winner[5] >= 0)
                 state_outs[13][0, sl, :] = jnp.where(hitmask, winner[5], -1)
                 state_outs[14][0, sl, :] = jnp.where(hitmask, winner[6], -1)
-            state = _shade(mat, meta, pix, frame, salt_base + b * 4,
-                           state, winner)
+            state = _shade(mat, meta, pix, frame,
+                           salt_base + jnp.uint32(b * 4), state, winner)
 
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
          rr, rg, rb, active) = state
@@ -587,17 +592,16 @@ def make_path_kernel(meta, salt_base, mint, nb, *, gen_rays, cam_mode,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "meta_key", "salt_base", "mint", "nb", "gen_rays", "cam_mode",
-    "jitter_salt", "carry_in", "collect", "style", "is_last", "interpret"))
-def _path_call(frame, cam_params, tables, pix, rays, carry, meta_key,
-               salt_base, mint, nb, gen_rays, cam_mode, jitter_salt,
+    "meta_key", "mint", "nb", "gen_rays", "cam_mode",
+    "carry_in", "collect", "style", "is_last", "interpret"))
+def _path_call(frame, salt_base, jitter_salt, cam_params, tables, pix, rays,
+               carry, meta_key, mint, nb, gen_rays, cam_mode,
                carry_in, collect, style, is_last, interpret):
     meta = dict(meta_key)
     grid = pix.shape[0]
     kern = make_path_kernel(
-        meta, salt_base, mint, nb, gen_rays=gen_rays, cam_mode=cam_mode,
-        jitter_salt=jitter_salt, carry_in=carry_in, collect=collect,
-        style=style, is_last=is_last,
+        meta, mint, nb, gen_rays=gen_rays, cam_mode=cam_mode,
+        carry_in=carry_in, collect=collect, style=style, is_last=is_last,
     )
 
     def tab_spec(v):
@@ -609,7 +613,7 @@ def _path_call(frame, cam_params, tables, pix, rays, carry, meta_key,
     srow = pl.BlockSpec((1, nb * S, L), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    args = [frame.reshape(1)]
+    args = [None]  # ctl placeholder, filled below
     if gen_rays:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(cam_params)
@@ -630,6 +634,12 @@ def _path_call(frame, cam_params, tables, pix, rays, carry, meta_key,
         out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.float32)] * 13
         out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.int32)] * 2
         out_specs += [srow] * 15
+    ctl = jnp.stack([
+        jnp.asarray(frame, jnp.uint32),
+        jnp.asarray(salt_base, jnp.uint32),
+        jnp.asarray(jitter_salt, jnp.uint32),
+    ])
+    args[0] = ctl
     return pl.pallas_call(
         kern, grid=(grid,),
         in_specs=in_specs, out_specs=tuple(out_specs),
@@ -642,14 +652,14 @@ def _path_call(frame, cam_params, tables, pix, rays, carry, meta_key,
 # ---------------------------------------------------------------------------
 
 
-def make_bwd_kernel(meta, salt_base, nb, *, style, is_last, is_first):
+def make_bwd_kernel(meta, nb, *, style, is_last, is_first):
     """Pullback over one bounce group (reversed in-kernel, unrolled)."""
     tri_rows = meta["tri_rows"]
     sph_rows = meta["sph_rows"]
     pln_rows = meta["pln_rows"]
     mat_rows = meta["mat_rows"]
 
-    def kernel(frame_ref, *refs):
+    def kernel(ctl_ref, *refs):
         difftab = tuple(r[...] for r in refs[:24])
         tmat, smat, pmat, mkind = (r[...] for r in refs[24:28])
         pix_ref = refs[28]
@@ -660,7 +670,8 @@ def make_bwd_kernel(meta, salt_base, nb, *, style, is_last, is_first):
         cot_out = refs[59:71]
         gtab_refs = refs[71:95]
 
-        frame = frame_ref[0]
+        frame = ctl_ref[0]
+        salt_base = ctl_ref[1]
         pix = pix_ref[0]
         grr, grg, grb = g_rows[0][0], g_rows[1][0], g_rows[2][0]
 
@@ -693,7 +704,7 @@ def make_bwd_kernel(meta, salt_base, nb, *, style, is_last, is_first):
             active = act_in & hit
             miss_now = act_in & ~hit
 
-            ru, rv, rw = _rng(pix, frame, salt_base + b * 4)
+            ru, rv, rw = _rng(pix, frame, salt_base + jnp.uint32(b * 4))
 
             def onehot(rows, safe_idx):
                 ri = jax.lax.broadcasted_iota(jnp.int32, (rows, S, L), 0)
@@ -903,13 +914,12 @@ def make_bwd_kernel(meta, salt_base, nb, *, style, is_last, is_first):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "meta_key", "salt_base", "nb", "style", "is_last", "is_first",
-    "interpret"))
-def _bwd_call(frame, tables, pix, states, fam, idx, g_rows, cot_in,
-              meta_key, salt_base, nb, style, is_last, is_first, interpret):
+    "meta_key", "nb", "style", "is_last", "is_first", "interpret"))
+def _bwd_call(frame, salt_base, tables, pix, states, fam, idx, g_rows, cot_in,
+              meta_key, nb, style, is_last, is_first, interpret):
     meta = dict(meta_key)
     grid = pix.shape[0]
-    kern = make_bwd_kernel(meta, salt_base, nb, style=style,
+    kern = make_bwd_kernel(meta, nb, style=style,
                            is_last=is_last, is_first=is_first)
 
     def tab_spec(v):
@@ -927,10 +937,13 @@ def _bwd_call(frame, tables, pix, states, fam, idx, g_rows, cot_in,
         + [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tables[:24]]
     )
     out_specs = tuple([row] * 12 + [tab_spec(t) for t in tables[:24]])
+    ctl = jnp.stack([
+        jnp.asarray(frame, jnp.uint32), jnp.asarray(salt_base, jnp.uint32)
+    ])
     return pl.pallas_call(
         kern, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
-    )(frame.reshape(1), *tables, pix, *states, fam, idx, *g_rows, *cot_in)
+    )(ctl, *tables, pix, *states, fam, idx, *g_rows, *cot_in)
 
 
 # ---------------------------------------------------------------------------
@@ -1001,11 +1014,14 @@ class PathTracer:
         records = []
         for gi, (start, g) in enumerate(groups):
             outs = _path_call(
-                frame, cam_params, self.tables, pix,
+                frame,
+                jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(start * 4),
+                jnp.asarray(jitter_salt, jnp.uint32),
+                cam_params, self.tables, pix,
                 rays if gi == 0 else tuple(carry[:6]),
                 tuple(carry[6:]) if gi > 0 else None,
-                self.meta_key, int(salt_base) + start * 4, self.mint, g,
-                gen_rays and gi == 0, cam_mode, int(jitter_salt),
+                self.meta_key, self.mint, g,
+                gen_rays and gi == 0, cam_mode,
                 gi > 0, collect_states, style, gi == len(groups) - 1,
                 interpret,
             )
@@ -1052,8 +1068,10 @@ def bwd_path(scene, record, frame, g_rows, salt_base: int, style: str,
         g, states, fam, idx = groups[gi]
         start -= g
         outs = _bwd_call(
-            frame, tables, pix, tuple(states), fam, idx, tuple(g_rows),
-            tuple(cot), meta_key, int(salt_base) + start * 4, g, style,
+            frame,
+            jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(start * 4),
+            tables, pix, tuple(states), fam, idx, tuple(g_rows),
+            tuple(cot), meta_key, g, style,
             gi == len(groups) - 1, gi == 0, interpret,
         )
         cot = outs[:12]

@@ -82,6 +82,62 @@ def render_sample_sharded(scene, camera, settings: RenderSettings,
     return sampled[:, :n].reshape(3, cfg.height, cfg.width)
 
 
+def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
+                               cfg: FilmConfig, frame, mesh,
+                               interpret: bool = False):
+    """Path-kernel-backed sharded sample render -> f32[3,H,W].
+
+    The fused whole-path Pallas kernel (ops.pathkernel) runs per shard inside
+    shard_map: film tiles data-parallel over ``tiles``, decorrelated sample
+    sets over ``spp`` pmean'd across ICI, scene/camera replicated.  RNG is
+    keyed by global pixel id and traced salt counters, so for a 1-wide spp
+    axis the sharded image is bit-identical to the single-device fast path
+    (tested); spp ranks reproduce the XLA path's aa_offset salt layout.
+    """
+    from ..models.integrators import AA_STRIDE
+    from ..ops.pathkernel import PathTracer, camera_params
+    from ..render import _INTEGRATOR_SITE, _JITTER_SITE
+
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_spp = mesh.shape[SPP_AXIS]
+    pixel, _, _, n = _padded_grid(cfg, n_tiles)
+    cp = camera_params(camera, cfg)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(), P(), P()),
+        out_specs=P(None, TILE_AXIS),
+        check_vma=False,
+    )
+    def tile_render(pixel, scene, cp, frame):
+        rank = jax.lax.axis_index(SPP_AXIS).astype(jnp.uint32)
+        pt = PathTracer(scene)
+        acc_r = acc_g = acc_b = 0.0
+        for i in range(settings.aa):
+            salt0 = (jnp.uint32(i) + rank * jnp.uint32(settings.aa)) * jnp.uint32(AA_STRIDE)
+            r, g, b = pt.trace(
+                pixel, None, None, frame,
+                salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
+                max_bounces=settings.max_bounces, style=settings.style,
+                gen_rays=True, cam_params=cp, cam_mode=camera.mode,
+                jitter_salt=salt0 + jnp.uint32(_JITTER_SITE),
+                interpret=interpret,
+            )
+            acc_r = acc_r + r
+            acc_g = acc_g + g
+            acc_b = acc_b + b
+        inv = 1.0 / settings.aa
+        sampled = jnp.stack([acc_r * inv, acc_g * inv, acc_b * inv])
+        if n_spp > 1:
+            sampled = jax.lax.pmean(sampled, SPP_AXIS)
+        return sampled
+
+    frame = jnp.asarray(frame, jnp.uint32)
+    sampled = tile_render(pixel, scene, cp, frame)
+    return sampled[:, :n].reshape(3, cfg.height, cfg.width)
+
+
 def render_frame_sharded(scene, camera, settings, cfg, film, dirty, mesh):
     """Sharded sample + EMA accumulate (film itself stays row-sharded if the
     caller placed it so; the update is elementwise)."""

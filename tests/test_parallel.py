@@ -93,3 +93,47 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 256, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_sharded_fast_path_kernel():
+    """The path-kernel-backed sharded renderer (shard_map + in-kernel raygen)
+    is bit-identical across mesh shapes, and its (tiles x spp) mesh equals
+    the mean of the per-rank salt renders."""
+    from rvpt_tpu.models.integrators import AA_STRIDE
+    from rvpt_tpu.ops.pathkernel import PathTracer, camera_params
+    from rvpt_tpu.parallel.sharded import render_sample_sharded_fast
+    from rvpt_tpu.render import _INTEGRATOR_SITE, _JITTER_SITE, _pixel_grid
+
+    scene, cam = builtin.cornell_box(aspect=2.0)
+    cfg = FilmConfig(width=64, height=32)
+    st = RenderSettings(max_bounces=3, style="standard")
+
+    # single-device reference: the same kernel, unsharded
+    pixel, _, _ = _pixel_grid(cfg)
+    pt = PathTracer(scene)
+    cp = camera_params(cam, cfg)
+    r, g, b = pt.trace(
+        pixel, None, None, jnp.uint32(0), salt_base=_INTEGRATOR_SITE,
+        max_bounces=3, style="standard", gen_rays=True, cam_params=cp,
+        cam_mode=cam.mode, jitter_salt=_JITTER_SITE, interpret=True,
+    )
+    ref = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)]).reshape(3, 32, 64)
+
+    mesh = mesh_mod.make_mesh(8, 1)
+    img = np.asarray(render_sample_sharded_fast(
+        scene, cam, st, cfg, 0, mesh, interpret=True))
+    assert np.array_equal(img, ref)
+
+    # spp=2 mesh: mean of the rank-0 and rank-1 salt streams
+    mesh2 = mesh_mod.make_mesh(4, 2)
+    img2 = np.asarray(render_sample_sharded_fast(
+        scene, cam, st, cfg, 0, mesh2, interpret=True))
+    r1, g1, b1 = pt.trace(
+        pixel, None, None, jnp.uint32(0),
+        salt_base=AA_STRIDE + _INTEGRATOR_SITE,
+        max_bounces=3, style="standard", gen_rays=True, cam_params=cp,
+        cam_mode=cam.mode, jitter_salt=AA_STRIDE + _JITTER_SITE,
+        interpret=True,
+    )
+    rank1 = np.stack([np.asarray(r1), np.asarray(g1), np.asarray(b1)]).reshape(3, 32, 64)
+    assert np.allclose(img2, (ref + rank1) / 2.0, atol=1e-6)
