@@ -51,6 +51,11 @@ TILE = S * L
 MAX_GROUP = 8   # bounces unrolled per kernel launch
 TRI_CHUNK = 16  # triangle rows per search step (bounds [T,S,L] temps)
 
+# Cluster-culled mesh path (SMEM-resident triangles; see pack_cull).
+CULL_K = 16        # triangles per cluster (leaf-order window)
+CULL_G = 64        # clusters per supergroup
+CULL_MAX_TRIS = 8192   # SMEM capacity bound (17 f32 tables, measured on v5e)
+
 _BIG = 3.0e38
 _DENOM_EPS = 1e-30
 _TWO_PI = 6.283185307179586
@@ -95,22 +100,83 @@ def _col(arr, align=8, fill=0.0):
     return arr.reshape(-1, 1, 1)
 
 
-def pack_fwd(scene: Scene) -> tuple[tuple, dict]:
-    """Forward search tables (precomputed triangle form) as [rows,1,1]."""
+def _tri_fields(scene: Scene) -> dict:
+    """Flat [T] per-triangle search fields (precomputed metric-tensor form,
+    assets/shaders/intersection.glsl:267-323) — shared by the VMEM row path
+    and the SMEM culled path so both round identically."""
+    pre = triangle_precompute(scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    return dict(
+        nx=pre["n"][:, 0], ny=pre["n"][:, 1], nz=pre["n"][:, 2],
+        e0x=pre["e0"][:, 0], e0y=pre["e0"][:, 1], e0z=pre["e0"][:, 2],
+        e1x=pre["e1"][:, 0], e1y=pre["e1"][:, 1], e1z=pre["e1"][:, 2],
+        v0n=pre["v0n"], v0e0=pre["v0e0"], v0e1=pre["v0e1"],
+        g00=pre["g00"], g11=pre["g11"], g01=pre["g01"],
+        inv_det=pre["inv_det"], mat=scene.tri_mat.astype(jnp.float32),
+    )
+
+
+def pack_cull(scene: Scene) -> tuple[tuple, dict]:
+    """SMEM tables for the cluster-culled mesh path.
+
+    The VMEM row layout costs one (8,128) tile — 4 KB — per triangle scalar,
+    capping the row path near 1k triangles.  Meshes instead keep their
+    triangle tables *dense in SMEM* (scalar loads broadcast to the VPU for
+    free) and cull work per ray tile: leaf-ordered triangles are windowed
+    into clusters of CULL_K with AABBs, clusters into supergroups of CULL_G,
+    and the kernel slab-tests supergroup→cluster boxes against the live rays
+    to build a compacted cluster work list before any triangle math runs.
+
+    Requires a BVH-attached scene (triangles already permuted into leaf
+    order, bvh.h:72-79, so consecutive windows are spatially tight).
+
+    Returns (17 flat f32[Tp] triangle tables + 12 bound tables, meta).
+    """
+    t = scene.num_triangles
+    if not (0 < t <= CULL_MAX_TRIS):
+        raise ValueError(f"culled path supports 1..{CULL_MAX_TRIS} triangles")
+    tp = -(-t // CULL_K) * CULL_K
+    fields = _tri_fields(scene)
+
+    def flat(a):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, (0, tp - t)) if tp != t else a
+
+    tri_tabs = tuple(flat(fields[k]) for k in TRI_FIELDS)
+
+    bmin = jnp.minimum(jnp.minimum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
+    bmax = jnp.maximum(jnp.maximum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
+    eps = 1e-4 * jnp.max(bmax) - 1e-4 * jnp.min(bmin) + 1e-6
+    # Padded triangles collapse to the last real one's bounds (never grow).
+    pad_tri = ((0, tp - t), (0, 0))
+    bmin = jnp.pad(bmin, pad_tri, mode="edge")
+    bmax = jnp.pad(bmax, pad_tri, mode="edge")
+    n_clu = tp // CULL_K
+    cb0 = jnp.min(bmin.reshape(n_clu, CULL_K, 3), axis=1) - eps
+    cb1 = jnp.max(bmax.reshape(n_clu, CULL_K, 3), axis=1) + eps
+    n_sup = -(-n_clu // CULL_G)
+    pad_c = ((0, n_sup * CULL_G - n_clu), (0, 0))
+    sb0 = jnp.min(jnp.pad(cb0, pad_c, mode="edge").reshape(n_sup, CULL_G, 3),
+                  axis=1)
+    sb1 = jnp.max(jnp.pad(cb1, pad_c, mode="edge").reshape(n_sup, CULL_G, 3),
+                  axis=1)
+    bound_tabs = tuple(a[:, k] for a in (sb0, sb1) for k in range(3)) + tuple(
+        a[:, k] for a in (cb0, cb1) for k in range(3)
+    )
+    meta = dict(n_clu=n_clu, n_sup=n_sup, num_tri=t)
+    return tri_tabs + bound_tabs, meta
+
+
+def pack_fwd(scene: Scene, culled: bool = False) -> tuple[tuple, dict]:
+    """Forward search tables (precomputed triangle form) as [rows,1,1].
+
+    With ``culled`` the triangle family is excluded (it lives in SMEM via
+    pack_cull); only spheres/planes/materials are packed."""
     t, s, p = scene.num_triangles, scene.num_spheres, scene.num_planes
-    if t:
-        pre = triangle_precompute(scene.tri_v0, scene.tri_v1, scene.tri_v2)
-        tri = dict(
-            nx=pre["n"][:, 0], ny=pre["n"][:, 1], nz=pre["n"][:, 2],
-            e0x=pre["e0"][:, 0], e0y=pre["e0"][:, 1], e0z=pre["e0"][:, 2],
-            e1x=pre["e1"][:, 0], e1y=pre["e1"][:, 1], e1z=pre["e1"][:, 2],
-            v0n=pre["v0n"], v0e0=pre["v0e0"], v0e1=pre["v0e1"],
-            g00=pre["g00"], g11=pre["g11"], g01=pre["g01"],
-            inv_det=pre["inv_det"], mat=scene.tri_mat.astype(jnp.float32),
-        )
+    if t and not culled:
+        tri = _tri_fields(scene)
     else:
         tri = {k: jnp.zeros((1,), jnp.float32) for k in TRI_FIELDS}
-    chunk = min(-(-max(t, 1) // 8) * 8, TRI_CHUNK)
+    chunk = min(-(-max(t, 1) // 8) * 8, TRI_CHUNK) if not culled else 8
     tri_cols = tuple(_col(tri[k], align=chunk) for k in TRI_FIELDS)
 
     if s:
@@ -144,7 +210,8 @@ def pack_fwd(scene: Scene) -> tuple[tuple, dict]:
         tri_chunk=chunk, tri_rows=tri_cols[0].shape[0],
         sph_rows=sph_cols[0].shape[0], pln_rows=pln_cols[0].shape[0],
         mat_rows=mat_cols[0].shape[0],
-        has_tri=t > 0, has_sph=s > 0, has_pln=p > 0,
+        has_tri=t > 0 and not culled, has_sph=s > 0, has_pln=p > 0,
+        culled=False,
     )
     return tri_cols + sph_cols + pln_cols + mat_cols, meta
 
@@ -238,7 +305,109 @@ def _rng(pix, frame, salt):
 # ---------------------------------------------------------------------------
 
 
-def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint):
+def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
+                 hitlist_ref, carry):
+    """Cluster-culled triangle closest-hit for SMEM-resident meshes.
+
+    Phase 1 walks supergroup→cluster AABBs with scalar slab tests against the
+    live ray tile and appends hit cluster ids to a compacted SMEM work list;
+    phase 2 runs the metric-tensor triangle test per triangle of each listed
+    cluster, with every per-triangle scalar loaded from SMEM (a free
+    broadcast on the VPU).  Folds into the winner carry like the row path.
+    """
+    tabs = cull[:17]
+    (s0x, s0y, s0z, s1x, s1y, s1z,
+     c0x, c0y, c0z, c1x, c1y, c1z) = cull[17:29]
+    n_clu, n_sup = meta["n_clu"], meta["n_sup"]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < _DENOM_EPS, _DENOM_EPS, c)
+
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+
+    def slab_any(x0, y0, z0, x1, y1, z1):
+        fx0 = (x0 - ox) * ivx
+        fx1 = (x1 - ox) * ivx
+        fy0 = (y0 - oy) * ivy
+        fy1 = (y1 - oy) * ivy
+        fz0 = (z0 - oz) * ivz
+        fz1 = (z1 - oz) * ivz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(fx0, fx1), jnp.minimum(fy0, fy1)),
+            jnp.maximum(jnp.minimum(fz0, fz1), mint),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
+            jnp.maximum(fz0, fz1),
+        )
+        return jnp.any((t1 >= t0) & live)
+
+    def sup_body(s2, count):
+        hit = slab_any(s0x[s2], s0y[s2], s0z[s2], s1x[s2], s1y[s2], s1z[s2])
+
+        def scan(count):
+            def clu_body(c, count):
+                h = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c])
+
+                @pl.when(h)
+                def _():
+                    hitlist_ref[count] = c
+
+                return count + jnp.where(h, 1, 0)
+
+            hi = jnp.minimum((s2 + 1) * CULL_G, n_clu)
+            return jax.lax.fori_loop(s2 * CULL_G, hi, clu_body, count)
+
+        return jax.lax.cond(hit, scan, lambda c: c, count)
+
+    count = jax.lax.cond(
+        jnp.any(live),
+        lambda: jax.lax.fori_loop(0, n_sup, sup_body, jnp.int32(0)),
+        lambda: jnp.int32(0),
+    )
+
+    def clu_work(k, carry):
+        c = hitlist_ref[k]
+
+        def tri_one(j, carry):
+            t_best, wnx, wny, wnz, wmat, wfam, widx = carry
+            i = c * CULL_K + j
+            nx, ny, nz = tabs[0][i], tabs[1][i], tabs[2][i]
+            e0x, e0y, e0z = tabs[3][i], tabs[4][i], tabs[5][i]
+            e1x, e1y, e1z = tabs[6][i], tabs[7][i], tabs[8][i]
+            v0n, v0e0, v0e1 = tabs[9][i], tabs[10][i], tabs[11][i]
+            g00, g11, g01 = tabs[12][i], tabs[13][i], tabs[14][i]
+            inv_det, mat_i = tabs[15][i], tabs[16][i]
+            dn = nx * dx + ny * dy + nz * dz
+            on = nx * ox + ny * oy + nz * oz
+            de0 = e0x * dx + e0y * dy + e0z * dz
+            de1 = e1x * dx + e1y * dy + e1z * dz
+            oe0 = e0x * ox + e0y * oy + e0z * oz
+            oe1 = e1x * ox + e1y * oy + e1z * oz
+            dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
+            t = (v0n - on) / dn_safe
+            b0 = oe0 + t * de0 - v0e0
+            b1 = oe1 + t * de1 - v0e1
+            u = inv_det * (g11 * b0 - g01 * b1)
+            v = inv_det * (g00 * b1 - g01 * b0)
+            valid = ((mint < t) & (t < t_best) & (u > 0.0)
+                     & (v > 0.0) & (u + v < 1.0))
+            t_best = jnp.where(valid, t, t_best)
+            wnx = jnp.where(valid, nx, wnx)
+            wny = jnp.where(valid, ny, wny)
+            wnz = jnp.where(valid, nz, wnz)
+            wmat = jnp.where(valid, mat_i, wmat)
+            wfam = jnp.where(valid, 0, wfam)
+            widx = jnp.where(valid, i, widx)
+            return (t_best, wnx, wny, wnz, wmat, wfam, widx)
+
+        return jax.lax.fori_loop(0, CULL_K, tri_one, carry)
+
+    return jax.lax.fori_loop(0, count, clu_work, carry)
+
+
+def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
+            cull=None, live=None, hitlist_ref=None):
     """Closest-hit over all families.  Ray comps are [S, L]; returns winner
     (t, nx, ny, nz, mat, fam, idx), all [S, L]."""
     t_best = jnp.full((S, L), _BIG, jnp.float32)
@@ -277,6 +446,10 @@ def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint):
         return (t_best, wnx, wny, wnz, wmat, wfam, widx)
 
     carry = (t_best, wnx, wny, wnz, wmat, wfam, widx)
+
+    if meta.get("culled"):
+        carry = _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint,
+                             live, hitlist_ref, carry)
 
     if meta["has_tri"]:
         chunk = meta["tri_chunk"]
@@ -523,6 +696,12 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             for k in d:
                 d[k] = d[k][...]
         pos += 35
+        cull = hitlist = None
+        if meta.get("culled"):
+            cull = refs[pos:pos + 29]   # SMEM: 17 tri tables + 12 bounds
+            pos += 29
+            hitlist = refs[-1]          # SMEM scratch work list
+            refs = refs[:-1]
         pix_ref = refs[pos]
         pos += 1
         frame = ctl_ref[0]
@@ -567,7 +746,8 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
                 for f, val in enumerate(state[:12]):
                     state_outs[f][0, sl, :] = val
                 state_outs[12][0, sl, :] = state[15].astype(jnp.float32)
-            winner = _search(tri, sph, pln, meta, *state[:6], mint)
+            winner = _search(tri, sph, pln, meta, *state[:6], mint,
+                             cull=cull, live=state[15], hitlist_ref=hitlist)
             if collect:
                 hitmask = state[15] & (winner[5] >= 0)
                 state_outs[13][0, sl, :] = jnp.where(hitmask, winner[5], -1)
@@ -594,8 +774,8 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
 @functools.partial(jax.jit, static_argnames=(
     "meta_key", "mint", "nb", "gen_rays", "cam_mode",
     "carry_in", "collect", "style", "is_last", "interpret"))
-def _path_call(frame, salt_base, jitter_salt, cam_params, tables, pix, rays,
-               carry, meta_key, mint, nb, gen_rays, cam_mode,
+def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
+               pix, rays, carry, meta_key, mint, nb, gen_rays, cam_mode,
                carry_in, collect, style, is_last, interpret):
     meta = dict(meta_key)
     grid = pix.shape[0]
@@ -619,6 +799,11 @@ def _path_call(frame, salt_base, jitter_salt, cam_params, tables, pix, rays,
         args.append(cam_params)
     in_specs += [tab_spec(v) for v in tables]
     args += list(tables)
+    scratch = []
+    if meta.get("culled"):
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cull_tables)
+        args += list(cull_tables)
+        scratch.append(pltpu.SMEM((meta["n_clu"],), jnp.int32))
     in_specs.append(row)
     args.append(pix)
     if not gen_rays:
@@ -644,6 +829,7 @@ def _path_call(frame, salt_base, jitter_salt, cam_params, tables, pix, rays,
         kern, grid=(grid,),
         in_specs=in_specs, out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes), interpret=interpret,
+        scratch_shapes=scratch,
     )(*args)
 
 
@@ -977,12 +1163,25 @@ def _groups(max_bounces):
 
 
 class PathTracer:
-    """Whole-path fused tracer for a scene: the TPU megakernel."""
+    """Whole-path fused tracer for a scene: the TPU megakernel.
+
+    Scenes with an attached BVH route their triangles through the SMEM
+    cluster-culled mesh path (pack_cull) — leaf-ordered clusters, per-tile
+    compacted work lists — which scales to CULL_MAX_TRIS triangles; scenes
+    without one use the VMEM row path (fastest for small counts)."""
 
     def __init__(self, scene: Scene, mint: float = 0.0):
         self.scene = scene
         self.mint = float(mint)
-        self.tables, self.meta = pack_fwd(scene)
+        culled = (scene.bvh is not None
+                  and 0 < scene.num_triangles <= CULL_MAX_TRIS)
+        self.tables, self.meta = pack_fwd(scene, culled=culled)
+        if culled:
+            self.cull_tables, cull_meta = pack_cull(scene)
+            self.meta.update(cull_meta)
+            self.meta["culled"] = True
+        else:
+            self.cull_tables = None
         self.meta_key = tuple(sorted(self.meta.items()))
 
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
@@ -1017,7 +1216,7 @@ class PathTracer:
                 frame,
                 jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(start * 4),
                 jnp.asarray(jitter_salt, jnp.uint32),
-                cam_params, self.tables, pix,
+                cam_params, self.tables, self.cull_tables, pix,
                 rays if gi == 0 else tuple(carry[:6]),
                 tuple(carry[6:]) if gi > 0 else None,
                 self.meta_key, self.mint, g,

@@ -111,15 +111,20 @@ def render_pixels(
 
 def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     """The fused Pallas bounce kernel serves the pure-Kajiya display path on
-    TPU (no split-screen, no BVH attachment); everything else uses the XLA
-    integrators."""
-    import jax
-
+    TPU; everything else uses the XLA integrators.  BVH-attached scenes ride
+    the kernel's SMEM cluster-culled mesh path up to its capacity
+    (ops.pathkernel.CULL_MAX_TRIS); unattached scenes use the VMEM row path,
+    whose per-triangle tile cost caps it at small counts."""
     from .ops import intersect as intersect_mod
+    from .ops.pathkernel import CULL_MAX_TRIS
 
     if not intersect_mod._use_pallas(max(scene.num_triangles, 1)):
         return False
-    return set(settings.modes()) == {9} and scene.bvh is None
+    if set(settings.modes()) != {9}:
+        return False
+    if scene.bvh is not None:
+        return scene.num_triangles <= CULL_MAX_TRIS
+    return scene.num_triangles <= 1024
 
 
 def render_sample_fast_chw(scene, camera, settings: RenderSettings,

@@ -69,6 +69,32 @@ def cornell_box(aspect: float = 1.0, light_emission: float = 12.0) -> tuple[Scen
     return b.build(), cam
 
 
+def mesh_demo(
+    subdiv: int = 4, aspect: float = 1.0
+) -> tuple[Scene, Camera]:
+    """Config 4 workload: a dense icosphere (20*4^subdiv triangles) on a
+    floor plane under an area light, BVH-attached so the fused kernel uses
+    its SMEM cluster-culled mesh path (ops.pathkernel.pack_cull)."""
+    from .bvh import attach_bvh
+    from .obj_io import make_icosphere
+
+    b = SceneBuilder()
+    floor = b.add_material(albedo=(0.75, 0.75, 0.75), kind=LAMBERT)
+    body = b.add_material(albedo=(0.7, 0.25, 0.2), kind=LAMBERT)
+    light = b.add_material(
+        albedo=(0.0, 0.0, 0.0), emission=(10.0, 10.0, 10.0), kind=LAMBERT
+    )
+    b.add_plane((0.0, 1.0, 0.0), -1.0, floor)
+    v, f = make_icosphere(subdiv=subdiv, radius=1.0)
+    b.add_mesh(v + np.asarray([0.0, 0.0, 4.0], np.float32), f, body)
+    b.add_quad(
+        (-1.2, 2.4, 3.0), (-1.2, 2.4, 5.0), (1.2, 2.4, 5.0), (1.2, 2.4, 3.0),
+        light,
+    )
+    cam = Camera.create(translation=(0.0, 0.4, 0.0), fov=70.0, aspect=aspect)
+    return attach_bvh(b.build()), cam
+
+
 def mesh_scene(
     vertices: np.ndarray, faces: np.ndarray, aspect: float = 2.0
 ) -> tuple[Scene, Camera]:

@@ -79,3 +79,45 @@ def test_megakernel_empty_families():
     r2, _, _ = mk2.trace(pixel, ray.origin, ray.direction, 0, 16, 2,
                          interpret=True)
     assert np.isfinite(np.asarray(r2)).all()
+
+
+def test_megakernel_culled_mesh_matches_xla():
+    """BVH-attached mesh scenes route triangles through the SMEM
+    cluster-culled path (pack_cull); result must match the XLA integrator."""
+    cfg = FilmConfig(width=24, height=16)
+    scene, cam = builtin.mesh_demo(subdiv=1, aspect=cfg.aspect)
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(3)
+    st = RenderSettings(max_bounces=3)
+
+    ref = np.asarray(
+        integrator_kajiya(scene, ray, pixel, frame, st, salt_base=jnp.uint32(16))
+    )
+    mk = PathTracer(scene)
+    assert mk.meta.get("culled"), "mesh_demo must take the culled path"
+    r, g, b = mk.trace(
+        pixel, ray.origin, ray.direction, frame, salt_base=16,
+        max_bounces=3, interpret=True,
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
+
+
+def test_megakernel_culled_pack_bounds():
+    """Cluster/supergroup AABBs from pack_cull must contain their triangles."""
+    from rvpt_tpu.ops.pathkernel import CULL_K, pack_cull
+
+    scene, _ = builtin.mesh_demo(subdiv=1)
+    tabs, meta = pack_cull(scene)
+    bounds = tabs[17:]
+    c0 = np.stack([np.asarray(bounds[6 + k]) for k in range(3)], -1)
+    c1 = np.stack([np.asarray(bounds[9 + k]) for k in range(3)], -1)
+    v = np.stack(
+        [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+         np.asarray(scene.tri_v2)], 1,
+    )  # [T,3,3]
+    for t in range(scene.num_triangles):
+        c = t // CULL_K
+        assert (v[t].min(0) >= c0[c] - 1e-3).all()
+        assert (v[t].max(0) <= c1[c] + 1e-3).all()
