@@ -375,7 +375,16 @@ def closest_hit_scene(scene: Scene, ray: Ray, mint, maxt, tri_chunk: int = 2048)
     from the autodiff graph (they select, they do not differentiate).
     """
     o, d = ray.origin, ray.direction
-    if scene.bvh is not None and scene.num_triangles > 0:
+    # Lockstep BVH traversal is the CPU/oracle path only: its per-ray
+    # while_loop + node gathers serialize on TPU (measured 0.1 Mrays/s at
+    # 960x544, device fault at 1080p), where the dense vectorized search is
+    # ~3 orders of magnitude faster.  BVH attachment still matters on TPU —
+    # it routes the fused megakernel to its SMEM cluster-culled mesh path.
+    use_traversal = scene.bvh is not None and scene.num_triangles > 0 and (
+        not _use_pallas(scene.num_triangles)
+        and jax.default_backend() == "cpu"
+    )
+    if use_traversal:
         from . import traverse
 
         t_tri, i_tri = traverse.closest_hit_bvh(scene, scene.bvh, o, d, mint, maxt)
