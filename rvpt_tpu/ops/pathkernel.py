@@ -325,7 +325,7 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
 
     ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
 
-    def slab_any(x0, y0, z0, x1, y1, z1):
+    def slab_any(x0, y0, z0, x1, y1, z1, tmax=None):
         fx0 = (x0 - ox) * ivx
         fx1 = (x1 - ox) * ivx
         fy0 = (y0 - oy) * ivy
@@ -340,7 +340,13 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
             jnp.maximum(fz0, fz1),
         )
-        return jnp.any((t1 >= t0) & live)
+        ok = (t1 >= t0) & live
+        if tmax is not None:
+            # A cluster whose entry distance exceeds the lane's current
+            # winner can't improve it — prunes occluded clusters as t_best
+            # tightens during the phase-2 walk.
+            ok &= t0 < tmax
+        return jnp.any(ok)
 
     def sup_body(s2, count):
         hit = slab_any(s0x[s2], s0y[s2], s0z[s2], s1x[s2], s1y[s2], s1z[s2])
@@ -368,6 +374,8 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
 
     def clu_work(k, carry):
         c = hitlist_ref[k]
+        still = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c],
+                         tmax=carry[0])
 
         def tri_one(j, carry):
             t_best, wnx, wny, wnz, wmat, wfam, widx = carry
@@ -401,7 +409,12 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             widx = jnp.where(valid, i, widx)
             return (t_best, wnx, wny, wnz, wmat, wfam, widx)
 
-        return jax.lax.fori_loop(0, CULL_K, tri_one, carry)
+        return jax.lax.cond(
+            still,
+            lambda c: jax.lax.fori_loop(0, CULL_K, tri_one, c),
+            lambda c: c,
+            carry,
+        )
 
     return jax.lax.fori_loop(0, count, clu_work, carry)
 

@@ -10,7 +10,7 @@ update — all one XLA program.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +127,25 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     return scene.num_triangles <= 1024
 
 
+@lru_cache(maxsize=8)
+def _block_order(width: int, height: int, bw: int = 128, bh: int = 64):
+    """Permutation packing each megakernel ray tile (S*L = bw*bh pixels) as
+    a compact bw x bh screen block instead of a ~4-row strip of the film.
+
+    Compact blocks give the culled mesh path (ops.pathkernel.pack_cull)
+    tight primary-ray frusta, so far fewer clusters survive the per-tile
+    slab cull.  Returns (order, inv) with order a permutation of row-major
+    pixel ids in block order and inv its inverse.
+    """
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    block = (ys // bh) * (-(-width // bw)) + (xs // bw)
+    order = np.lexsort((xs.ravel(), ys.ravel(), block.ravel()))
+    inv = np.argsort(order)
+    return order, inv
+
+
 def render_sample_fast_chw(scene, camera, settings: RenderSettings,
                            cfg: FilmConfig, frame):
     """Megakernel-backed sample render -> f32[3,H,W] (forward-only; identical
@@ -134,13 +153,27 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
     the XLA path when the settings/scene are out of the kernel's scope."""
     if not _megakernel_eligible(scene, settings):
         return render_sample_chw(scene, camera, settings, cfg, frame)
+    # One jitted program per (settings, cfg, camera mode): table packing, the
+    # pixel permutation gathers, and the kernel launches all fuse — unjitted,
+    # the host-side re-pack + 2M-element gathers cost ~10x the kernel time.
+    return _fast_chw_jit(scene, camera, settings, cfg,
+                         jnp.asarray(frame, jnp.uint32))
 
+
+@partial(jax.jit, static_argnames=("settings", "cfg"))
+def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
+                  frame):
     from .models.integrators import AA_STRIDE
     from .ops.pathkernel import PathTracer, camera_params
 
     pt = PathTracer(scene)
     cam_params = camera_params(camera, cfg)
     pixel, _, _ = _pixel_grid(cfg)
+    inv = None
+    if pt.meta.get("culled"):
+        # Compact-block tile order: tightens the per-tile cluster cull.
+        order, inv = _block_order(cfg.width, cfg.height)
+        pixel = pixel[order]
     frame = jnp.asarray(frame, jnp.uint32)
     acc_r = acc_g = acc_b = 0.0
     for i in range(settings.aa):
@@ -157,10 +190,11 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
         acc_r = acc_r + r
         acc_g = acc_g + g
         acc_b = acc_b + b
-    inv = 1.0 / settings.aa
-    return jnp.stack(
-        [acc_r * inv, acc_g * inv, acc_b * inv]
-    ).reshape(3, cfg.height, cfg.width)
+    scale = 1.0 / settings.aa
+    chans = [acc_r * scale, acc_g * scale, acc_b * scale]
+    if inv is not None:
+        chans = [c[inv] for c in chans]
+    return jnp.stack(chans).reshape(3, cfg.height, cfg.width)
 
 
 def render_sample_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig, frame):

@@ -69,3 +69,35 @@ def test_hot_reload_watcher(tmp_path):
     assert "rvpt_tpu.config" in reloaded
     assert w.dirty_modules() == []
     os.utime(path)  # restore sane mtime
+
+
+def test_block_order_is_permutation():
+    from rvpt_tpu.render import _block_order
+
+    import numpy as np
+
+    for w, h in ((192, 128), (24, 16), (1920, 1088)):
+        order, inv = _block_order(w, h)
+        x = np.arange(w * h)
+        assert (x[order][inv] == x).all()
+        # first tile = first 128x64 screen block (when film is big enough)
+        if w >= 128 and h >= 64:
+            ys, xs = order[: 128 * 64] // w, order[: 128 * 64] % w
+            assert xs.max() < 128 and ys.max() < 64
+
+
+def test_profiling_helpers():
+    from rvpt_tpu.utils.profiling import StepProfile, mrays_per_second
+
+    assert abs(mrays_per_second(1920, 1088, 8, 1, 0.1) - 167.1) < 0.1
+
+    prof = StepProfile(window=3)
+    for _ in range(5):
+        with prof.phase("render"):
+            pass
+        with prof.phase("accumulate"):
+            pass
+    s = prof.summary()
+    assert s["render"]["count"] == 3  # window keeps the last 3
+    assert s["accumulate"]["count"] == 3
+    assert s["render"]["min_s"] <= s["render"]["mean_s"] <= s["render"]["max_s"]
