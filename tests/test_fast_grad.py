@@ -201,3 +201,42 @@ def test_pallas_backward_value_unchanged():
     a = np.asarray(tr_soa(scene, ray.origin, ray.direction, pixel, frame))
     b = np.asarray(tr_pk(scene, ray.origin, ray.direction, pixel, frame))
     assert np.array_equal(a, b)
+
+
+def test_fast_grad_culled_mesh_matches_autodiff():
+    """The custom VJP also serves BVH-attached scenes (the megakernel's SMEM
+    culled path records the same global hit indices the replay gathers)."""
+    cfg = FilmConfig(width=16, height=8)
+    scene, cam = builtin.mesh_demo(subdiv=0, aspect=cfg.aspect)
+    from rvpt_tpu.core import rng
+    from rvpt_tpu.models import camera as camera_mod
+    from rvpt_tpu.render import _pixel_grid
+
+    pixel, xs, ys = _pixel_grid(cfg)
+    ju, jv = rng.uniform2(pixel, jnp.uint32(0), jnp.uint32(0))
+    cx = (xs.astype(jnp.float32) + ju) / cfg.width
+    cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
+    ray = camera_mod.generate_rays(cam, cx, cy)
+    frame = jnp.uint32(1)
+    st = RenderSettings(max_bounces=2, style="standard")
+
+    def loss_xla(albedo):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s = dataclasses.replace(scene, materials=mats)
+        col = integrator_kajiya(s, ray, pixel, frame, st, salt_base=jnp.uint32(16))
+        return jnp.mean(col)
+
+    trace = make_fast_kajiya(scene, 16, 2, style="standard", interpret=True)
+
+    def loss_fast(albedo):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s = dataclasses.replace(scene, materials=mats)
+        return jnp.mean(trace(s, ray.origin, ray.direction, pixel, frame))
+
+    assert PathTracer(scene).meta.get("culled"), "scene must take the culled path"
+    g_xla = np.asarray(jax.grad(loss_xla)(scene.materials.albedo))
+    g_fast = np.asarray(jax.grad(loss_fast)(scene.materials.albedo))
+    assert np.abs(g_xla).max() > 0
+    assert np.allclose(g_fast, g_xla, rtol=2e-2, atol=1e-5), (
+        f"max abs diff {np.abs(g_fast - g_xla).max()}"
+    )
