@@ -169,3 +169,26 @@ def generate_rays_soa(cam: Camera, x: jnp.ndarray, y: jnp.ndarray):
     dz = m[2, 0] * lx + m[2, 1] * ly + m[2, 2] * lz
     ones = jnp.ones_like(phi)
     return (m[0, 3] * ones, m[1, 3] * ones, m[2, 3] * ones, dx, dy, dz)
+
+
+def translate(cam: Camera, delta) -> Camera:
+    """Camera-local translation (src/rvpt/camera.cpp:29-33): the delta is
+    rotated into world space by the current camera matrix before being added,
+    so +z moves forward, +x strafes right, +y rises — FPS-style."""
+    import dataclasses
+
+    m = camera_matrix(cam)
+    world = m[:3, :3] @ jnp.asarray(delta, jnp.float32)
+    return dataclasses.replace(cam, translation=cam.translation + world)
+
+
+def rotate(cam: Camera, delta, clamp_vertical: bool = False) -> Camera:
+    """Additive rotation in degrees (src/rvpt/camera.cpp:35-39);
+    ``clamp_vertical`` clamps pitch to [-90, 90] as the reference's
+    ``vertical_view_angle_clamp`` (off by default, camera.h:46)."""
+    import dataclasses
+
+    rot = cam.rotation + jnp.asarray(delta, jnp.float32)
+    if clamp_vertical:
+        rot = rot.at[1].set(jnp.clip(rot[1], -90.0, 90.0))
+    return dataclasses.replace(cam, rotation=rot)
