@@ -7,6 +7,7 @@ the viewer/debug overlays become saved buffers, SURVEY.md §1 L6).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -41,6 +42,9 @@ def write_png(path: str, img: np.ndarray) -> None:
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
     out += _chunk(b"IDAT", zlib.compress(raw, 6))
     out += _chunk(b"IEND", b"")
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(path, "wb") as f:
         f.write(out)
 
