@@ -54,6 +54,7 @@ TRI_CHUNK = 16  # triangle rows per search step (bounds [T,S,L] temps)
 # Cluster-culled mesh path (SMEM-resident triangles; see pack_cull).
 CULL_K = 16        # triangles per cluster (leaf-order window)
 CULL_G = 64        # clusters per supergroup
+CULL_BINS = 16     # counting-sort buckets for near-first cluster ordering
 CULL_MAX_TRIS = 8192   # SMEM capacity bound (17 f32 tables, measured on v5e)
 
 _BIG = 3.0e38
@@ -159,9 +160,13 @@ def pack_cull(scene: Scene) -> tuple[tuple, dict]:
                   axis=1)
     sb1 = jnp.max(jnp.pad(cb1, pad_c, mode="edge").reshape(n_sup, CULL_G, 3),
                   axis=1)
+    # Per-cluster bounding-sphere center/radius: sound entry-distance lower
+    # bounds for the near-first ordering + early break in _culled_tris.
+    cc = 0.5 * (cb0 + cb1)
+    cr = 0.5 * jnp.sqrt(jnp.sum((cb1 - cb0) ** 2, axis=1))
     bound_tabs = tuple(a[:, k] for a in (sb0, sb1) for k in range(3)) + tuple(
         a[:, k] for a in (cb0, cb1) for k in range(3)
-    )
+    ) + (cc[:, 0], cc[:, 1], cc[:, 2], cr)
     meta = dict(n_clu=n_clu, n_sup=n_sup, num_tri=t)
     return tri_tabs + bound_tabs, meta
 
@@ -306,26 +311,45 @@ def _rng(pix, frame, salt):
 
 
 def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
-                 hitlist_ref, carry):
+                 scratch, carry):
     """Cluster-culled triangle closest-hit for SMEM-resident meshes.
 
-    Phase 1 walks supergroup→cluster AABBs with scalar slab tests against the
-    live ray tile and appends hit cluster ids to a compacted SMEM work list;
-    phase 2 runs the metric-tensor triangle test per triangle of each listed
-    cluster, with every per-triangle scalar loaded from SMEM (a free
+    Phase 1 walks supergroup→cluster AABBs with per-lane slab tests against
+    the live ray tile and appends hit cluster ids to a compacted SMEM work
+    list, keyed by a *sound entry lower bound*: the euclidean gap between the
+    tile's origin bounding sphere and the cluster's bounding sphere, divided
+    by the tile's max ray-direction norm (directions are unnormalized after
+    Lambert bounces).  A stable counting sort (CULL_BINS buckets) orders the
+    list near-to-far.
+
+    Phase 2 walks the ordered list with TWO prunes: the per-lane ``t_best``
+    slab re-test (``still``), and an early BREAK of the whole walk once every
+    contributing lane's winner beats the next cluster's entry bound — sound
+    because keys ascend (up to bucket granularity: the break compares against
+    the exact recomputed bound of the next cluster, and within a bucket keys
+    differ by less than one bucket width, so the test uses the bucket's lower
+    edge).  Lanes whose rays miss the mesh root AABB are masked out of both
+    the listing tests and the break reduction — a sky ray can never gain from
+    any cluster, and its +inf t_best would otherwise disable the break.
+    Planes and spheres are searched BEFORE this walk (see _search) so their
+    hits give every lane a t_best ceiling entering phase 2.
+
+    Per-triangle math runs with every scalar loaded from SMEM (a free
     broadcast on the VPU).  Folds into the winner carry like the row path.
     """
     tabs = cull[:17]
     (s0x, s0y, s0z, s1x, s1y, s1z,
-     c0x, c0y, c0z, c1x, c1y, c1z) = cull[17:29]
+     c0x, c0y, c0z, c1x, c1y, c1z,
+     ccx, ccy, ccz, crad) = cull[17:33]
     n_clu, n_sup = meta["n_clu"], meta["n_sup"]
+    hitlist_ref, keys_ref, hist_ref, order_ref = scratch
 
     def inv(c):
         return 1.0 / jnp.where(jnp.abs(c) < _DENOM_EPS, _DENOM_EPS, c)
 
     ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
 
-    def slab_any(x0, y0, z0, x1, y1, z1, tmax=None):
+    def slab(x0, y0, z0, x1, y1, z1):
         fx0 = (x0 - ox) * ivx
         fx1 = (x1 - ox) * ivx
         fy0 = (y0 - oy) * ivy
@@ -340,7 +364,26 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
             jnp.maximum(fz0, fz1),
         )
-        ok = (t1 >= t0) & live
+        return t0, t1
+
+    # --- phase 0: root-box lane mask + tile scalars for the entry bounds
+    def fold_min(tab):
+        return jax.lax.fori_loop(
+            0, n_sup, lambda s2, m: jnp.minimum(m, tab[s2]),
+            jnp.float32(_BIG))
+
+    def fold_max(tab):
+        return jax.lax.fori_loop(
+            0, n_sup, lambda s2, m: jnp.maximum(m, tab[s2]),
+            jnp.float32(-_BIG))
+
+    rt0, rt1 = slab(fold_min(s0x), fold_min(s0y), fold_min(s0z),
+                    fold_max(s1x), fold_max(s1y), fold_max(s1z))
+    cull_live = live & (rt1 >= rt0)
+
+    def slab_any(x0, y0, z0, x1, y1, z1, tmax=None):
+        t0, t1 = slab(x0, y0, z0, x1, y1, z1)
+        ok = (t1 >= t0) & cull_live
         if tmax is not None:
             # A cluster whose entry distance exceeds the lane's current
             # winner can't improve it — prunes occluded clusters as t_best
@@ -348,6 +391,27 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             ok &= t0 < tmax
         return jnp.any(ok)
 
+    def bounds_of(v):
+        lo = jnp.min(jnp.where(cull_live, v, _BIG))
+        hi = jnp.max(jnp.where(cull_live, v, -_BIG))
+        return lo, hi
+
+    oxl, oxh = bounds_of(ox)
+    oyl, oyh = bounds_of(oy)
+    ozl, ozh = bounds_of(oz)
+    omx, omy, omz = 0.5 * (oxl + oxh), 0.5 * (oyl + oyh), 0.5 * (ozl + ozh)
+    r_o = 0.5 * jnp.sqrt(jnp.maximum(
+        (oxh - oxl) ** 2 + (oyh - oyl) ** 2 + (ozh - ozl) ** 2, 0.0))
+    d2max = jnp.max(jnp.where(cull_live, dx * dx + dy * dy + dz * dz, 0.0))
+    inv_dmax = jax.lax.rsqrt(jnp.maximum(d2max, 1e-20))
+
+    def entry_bound(c):
+        # Lower bound on every contributing lane's entry param to cluster c.
+        ex, ey, ez = ccx[c] - omx, ccy[c] - omy, ccz[c] - omz
+        gap = jnp.sqrt(ex * ex + ey * ey + ez * ez) - crad[c] - r_o
+        return jnp.maximum(gap * inv_dmax, jnp.float32(mint))
+
+    # --- phase 1: per-lane listing + near-first keys
     def sup_body(s2, count):
         hit = slab_any(s0x[s2], s0y[s2], s0z[s2], s1x[s2], s1y[s2], s1z[s2])
 
@@ -358,6 +422,7 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
                 @pl.when(h)
                 def _():
                     hitlist_ref[count] = c
+                    keys_ref[count] = entry_bound(c)
 
                 return count + jnp.where(h, 1, 0)
 
@@ -367,15 +432,56 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
         return jax.lax.cond(hit, scan, lambda c: c, count)
 
     count = jax.lax.cond(
-        jnp.any(live),
+        jnp.any(cull_live),
         lambda: jax.lax.fori_loop(0, n_sup, sup_body, jnp.int32(0)),
         lambda: jnp.int32(0),
     )
 
-    def clu_work(k, carry):
-        c = hitlist_ref[k]
-        still = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c],
-                         tmax=carry[0])
+    # --- stable counting sort of the work list by ascending entry bound
+    def key_minmax(k, mm):
+        kv = keys_ref[k]
+        return jnp.minimum(mm[0], kv), jnp.maximum(mm[1], kv)
+
+    kmin, kmax = jax.lax.fori_loop(
+        0, count, key_minmax, (jnp.float32(_BIG), jnp.float32(-_BIG)))
+    spread = kmax - kmin
+    inv_bw = jnp.where(spread > 1e-20, CULL_BINS / spread, 0.0)
+
+    def bin_of(key):
+        b = ((key - kmin) * inv_bw).astype(jnp.int32)
+        return jnp.clip(b, 0, CULL_BINS - 1)
+
+    for b in range(CULL_BINS + 1):
+        hist_ref[b] = jnp.int32(0)
+
+    def hist_body(k, acc):
+        b = bin_of(keys_ref[k])
+        hist_ref[b + 1] = hist_ref[b + 1] + 1
+        return acc
+
+    jax.lax.fori_loop(0, count, hist_body, jnp.int32(0))
+    for b in range(CULL_BINS):
+        hist_ref[b + 1] = hist_ref[b + 1] + hist_ref[b]
+
+    def place_body(k, acc):
+        key = keys_ref[k]
+        b = bin_of(key)
+        pos = hist_ref[b]
+        order_ref[pos] = hitlist_ref[k]
+        hist_ref[b] = pos + 1
+        return acc
+
+    jax.lax.fori_loop(0, count, place_body, jnp.int32(0))
+
+    # --- phase 2: ordered walk, per-lane re-prune, early break
+    # The walk stays a fori_loop (a while_loop whose cond reduces a vector
+    # carry stalls Mosaic); the break is a scalar `done` flag — once set, the
+    # remaining iterations cost ~10 scalar ops each.
+    bw = jnp.where(spread > 1e-20, spread * (1.0 / CULL_BINS), 0.0)
+
+    def clu_work(k, state):
+        done, carry0 = state
+        c = order_ref[k]
 
         def tri_one(j, carry):
             t_best, wnx, wny, wnz, wmat, wfam, widx = carry
@@ -409,18 +515,37 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             widx = jnp.where(valid, i, widx)
             return (t_best, wnx, wny, wnz, wmat, wfam, widx)
 
+        def process(carry):
+            still = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c],
+                             tmax=carry[0])
+            carry = jax.lax.cond(
+                still,
+                lambda cc: jax.lax.fori_loop(0, CULL_K, tri_one, cc),
+                lambda cc: cc,
+                carry,
+            )
+            # Early break: once the worst still-improvable winner among
+            # contributing lanes is at or below this cluster's bucket lower
+            # edge, no later cluster can win — keys ascend bucket-wise (the
+            # sort keeps leaf order only WITHIN a bucket, so the exact key
+            # would be unsound; the bucket edge bounds every later key).
+            t_worst = jnp.max(jnp.where(cull_live, carry[0], -_BIG))
+            bucket_lo = (kmin
+                         + bin_of(entry_bound(c)).astype(jnp.float32) * bw)
+            return bucket_lo >= t_worst, carry
+
         return jax.lax.cond(
-            still,
-            lambda c: jax.lax.fori_loop(0, CULL_K, tri_one, c),
-            lambda c: c,
-            carry,
+            done, lambda cc: (jnp.bool_(True), cc), process, carry0
         )
 
-    return jax.lax.fori_loop(0, count, clu_work, carry)
+    _, carry = jax.lax.fori_loop(
+        0, count, clu_work, (jnp.bool_(False), carry)
+    )
+    return carry
 
 
 def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
-            cull=None, live=None, hitlist_ref=None):
+            cull=None, live=None, cull_scratch=None):
     """Closest-hit over all families.  Ray comps are [S, L]; returns winner
     (t, nx, ny, nz, mat, fam, idx), all [S, L]."""
     t_best = jnp.full((S, L), _BIG, jnp.float32)
@@ -459,10 +584,6 @@ def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
         return (t_best, wnx, wny, wnz, wmat, wfam, widx)
 
     carry = (t_best, wnx, wny, wnz, wmat, wfam, widx)
-
-    if meta.get("culled"):
-        carry = _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint,
-                             live, hitlist_ref, carry)
 
     if meta["has_tri"]:
         chunk = meta["tri_chunk"]
@@ -525,13 +646,20 @@ def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
         on = nx * oxb + ny * oyb + nz * ozb
         dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
         tp = (pln["doff"] - on) / dn_safe
-        live = (nx * nx + ny * ny + nz * nz) > 0.0
-        tp = jnp.where((tp > mint) & (tp < carry[0][None]) & live, tp, _BIG)
+        pvalid = (nx * nx + ny * ny + nz * nz) > 0.0
+        tp = jnp.where((tp > mint) & (tp < carry[0][None]) & pvalid, tp, _BIG)
 
         def pln_normal(cmin, sel):
             return sel(nx), sel(ny), sel(nz)
 
         carry = pick(carry, tp, rows_n, pln, 2, 0, pln_normal)
+
+    if meta.get("culled"):
+        # Triangles LAST: plane/sphere hits give every lane a t_best
+        # ceiling before the cluster walk, feeding its per-lane and
+        # early-break prunes.
+        carry = _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint,
+                             live, cull_scratch, carry)
 
     return carry
 
@@ -709,12 +837,12 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             for k in d:
                 d[k] = d[k][...]
         pos += 35
-        cull = hitlist = None
+        cull = cull_scratch = None
         if meta.get("culled"):
-            cull = refs[pos:pos + 29]   # SMEM: 17 tri tables + 12 bounds
-            pos += 29
-            hitlist = refs[-1]          # SMEM scratch work list
-            refs = refs[:-1]
+            cull = refs[pos:pos + 33]   # SMEM: 17 tri + 12 bounds + 4 sphere
+            pos += 33
+            cull_scratch = refs[-4:]    # SMEM: hitlist, keys, hist, order
+            refs = refs[:-4]
         pix_ref = refs[pos]
         pos += 1
         frame = ctl_ref[0]
@@ -760,7 +888,8 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
                     state_outs[f][0, sl, :] = val
                 state_outs[12][0, sl, :] = state[15].astype(jnp.float32)
             winner = _search(tri, sph, pln, meta, *state[:6], mint,
-                             cull=cull, live=state[15], hitlist_ref=hitlist)
+                             cull=cull, live=state[15],
+                             cull_scratch=cull_scratch)
             if collect:
                 hitmask = state[15] & (winner[5] >= 0)
                 state_outs[13][0, sl, :] = jnp.where(hitmask, winner[5], -1)
@@ -816,7 +945,12 @@ def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
     if meta.get("culled"):
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cull_tables)
         args += list(cull_tables)
-        scratch.append(pltpu.SMEM((meta["n_clu"],), jnp.int32))
+        scratch += [
+            pltpu.SMEM((meta["n_clu"],), jnp.int32),    # hitlist
+            pltpu.SMEM((meta["n_clu"],), jnp.float32),  # entry-bound keys
+            pltpu.SMEM((CULL_BINS + 1,), jnp.int32),    # counting-sort hist
+            pltpu.SMEM((meta["n_clu"],), jnp.int32),    # ordered work list
+        ]
     in_specs.append(row)
     args.append(pix)
     if not gen_rays:

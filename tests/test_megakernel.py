@@ -104,6 +104,67 @@ def test_megakernel_culled_mesh_matches_xla():
     assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
 
 
+def _bvh_mesh_scene(v0, v1, v2, albedo=(0.6, 0.6, 0.6)):
+    """Build a BVH-attached triangle scene (routes through the culled path)."""
+    from rvpt_tpu.scene.bvh import attach_bvh
+    from rvpt_tpu.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_material(albedo=albedo)
+    for a, c, d in zip(v0, v1, v2):
+        b.add_triangle(tuple(a), tuple(c), tuple(d), m)
+    lm = b.add_material(albedo=(0, 0, 0), emission=(4, 4, 4))
+    b.add_sphere((0.0, 6.0, 2.0), 1.0, lm)
+    return attach_bvh(b.build())
+
+
+@pytest.mark.parametrize("layout", ["axial", "soup"])
+def test_megakernel_culled_order_and_break_sound(layout):
+    """Adversarial geometry for the near-first ordering + early break:
+
+    'axial' stacks many quads along the view axis (the break must fire only
+    after the true nearest hit is found — any unsound skip shows up as a ray
+    punching through to a farther quad); 'soup' scatters triangles randomly
+    so counting-sort buckets collide and within-bucket order is arbitrary.
+    Both must match the XLA integrator exactly (same math, same RNG)."""
+    rng = np.random.default_rng(7)
+    if layout == "axial":
+        quads = []
+        for i in range(24):  # 48 tris -> several clusters along one axis
+            z = 2.0 + 0.45 * i
+            s = 1.0 + 0.05 * i
+            quads.append(((-s, -s, z), (s, -s, z), (s, s, z)))
+            quads.append(((-s, -s, z), (s, s, z), (-s, s, z)))
+        v0, v1, v2 = (np.asarray([q[k] for q in quads], np.float32)
+                      for k in range(3))
+    else:
+        c = rng.uniform(-3, 3, size=(64, 3)).astype(np.float32)
+        c[:, 2] += 5.0
+        e1 = rng.normal(0, 0.7, size=(64, 3)).astype(np.float32)
+        e2 = rng.normal(0, 0.7, size=(64, 3)).astype(np.float32)
+        v0, v1, v2 = c, c + e1, c + e2
+    scene = _bvh_mesh_scene(v0, v1, v2)
+
+    cfg = FilmConfig(width=24, height=16)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(5)
+    st = RenderSettings(max_bounces=4)
+
+    ref = np.asarray(
+        integrator_kajiya(scene, ray, pixel, frame, st, salt_base=jnp.uint32(16))
+    )
+    mk = PathTracer(scene)
+    assert mk.meta.get("culled"), "scene must take the culled path"
+    r, g, b = mk.trace(
+        pixel, ray.origin, ray.direction, frame, salt_base=16,
+        max_bounces=4, interpret=True,
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
+
+
 def test_megakernel_culled_pack_bounds():
     """Cluster/supergroup AABBs from pack_cull must contain their triangles."""
     from rvpt_tpu.ops.pathkernel import CULL_K, pack_cull
