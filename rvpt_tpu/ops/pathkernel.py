@@ -54,7 +54,6 @@ TRI_CHUNK = 16  # triangle rows per search step (bounds [T,S,L] temps)
 # Cluster-culled mesh path (SMEM-resident triangles; see pack_cull).
 CULL_K = 16        # triangles per cluster (leaf-order window)
 CULL_G = 64        # clusters per supergroup
-CULL_BINS = 16     # counting-sort buckets for near-first cluster ordering
 CULL_MAX_TRIS = 8192   # SMEM capacity bound (17 f32 tables, measured on v5e)
 
 _BIG = 3.0e38
@@ -316,33 +315,38 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
 
     Phase 1 walks supergroup→cluster AABBs with per-lane slab tests against
     the live ray tile and appends hit cluster ids to a compacted SMEM work
-    list, keyed by a *sound entry lower bound*: the euclidean gap between the
-    tile's origin bounding sphere and the cluster's bounding sphere, divided
-    by the tile's max ray-direction norm (directions are unnormalized after
-    Lambert bounces).  A stable counting sort (CULL_BINS buckets) orders the
-    list near-to-far.
+    list; phase 2 runs the metric-tensor triangle test per triangle of each
+    listed cluster, with every per-triangle scalar loaded from SMEM (a free
+    broadcast on the VPU), re-pruning each cluster against the tightening
+    per-lane ``t_best`` first.  Folds into the winner carry like the row
+    path.
 
-    Phase 2 walks the ordered list with TWO prunes: the per-lane ``t_best``
-    slab re-test (``still``), and an early BREAK of the whole walk once every
-    contributing lane's winner beats the next cluster's entry bound — sound
-    because keys ascend (up to bucket granularity: the break compares against
-    the exact recomputed bound of the next cluster, and within a bucket keys
-    differ by less than one bucket width, so the test uses the bucket's lower
-    edge).  Lanes whose rays miss the mesh root AABB are masked out of both
-    the listing tests and the break reduction — a sky ray can never gain from
-    any cluster, and its +inf t_best would otherwise disable the break.
-    Planes and spheres are searched BEFORE this walk (see _search) so their
-    hits give every lane a t_best ceiling entering phase 2.
+    Two cheap refinements (both measured):
+    * lanes whose rays miss the mesh ROOT AABB are masked out of every
+      listing test — a sky ray can never gain from any cluster;
+    * _search runs planes/spheres BEFORE this walk, so their hits give every
+      lane a t_best ceiling entering phase 2 and the ``tmax`` re-prune fires
+      from the first cluster.
 
-    Per-triangle math runs with every scalar loaded from SMEM (a free
-    broadcast on the VPU).  Folds into the winner carry like the row path.
+    Measured negative results (reverted; see BASELINE.md): near-first
+    ordering of the work list via counting sort + an early break once every
+    live lane's winner beats the next cluster's entry bound.  Per-tile stats
+    at 1080p/8 bounces (subdiv-3 icosphere): ~25 of 81 clusters listed, the
+    break fired on 0.4%, ordering improved the t_best re-prune only 25→21
+    still-passed — less than the sort + per-cluster reduce cost (172 →
+    222 ms/frame).  The union of clusters needed by 8192 rays per tile is
+    irreducible under any-lane tile semantics.
+
+    Returns (carry, (listed, processed, still_passed)) scalar i32 counters
+    for the stats outputs (processed == listed here; kept for shape parity
+    with experimental walk variants).
     """
     tabs = cull[:17]
     (s0x, s0y, s0z, s1x, s1y, s1z,
      c0x, c0y, c0z, c1x, c1y, c1z,
      ccx, ccy, ccz, crad) = cull[17:33]
     n_clu, n_sup = meta["n_clu"], meta["n_sup"]
-    hitlist_ref, keys_ref, hist_ref, order_ref = scratch
+    hitlist_ref = scratch[0]
 
     def inv(c):
         return 1.0 / jnp.where(jnp.abs(c) < _DENOM_EPS, _DENOM_EPS, c)
@@ -366,7 +370,7 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
         )
         return t0, t1
 
-    # --- phase 0: root-box lane mask + tile scalars for the entry bounds
+    # Root-box lane mask (fold the supergroup bounds once per bounce).
     def fold_min(tab):
         return jax.lax.fori_loop(
             0, n_sup, lambda s2, m: jnp.minimum(m, tab[s2]),
@@ -391,27 +395,6 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             ok &= t0 < tmax
         return jnp.any(ok)
 
-    def bounds_of(v):
-        lo = jnp.min(jnp.where(cull_live, v, _BIG))
-        hi = jnp.max(jnp.where(cull_live, v, -_BIG))
-        return lo, hi
-
-    oxl, oxh = bounds_of(ox)
-    oyl, oyh = bounds_of(oy)
-    ozl, ozh = bounds_of(oz)
-    omx, omy, omz = 0.5 * (oxl + oxh), 0.5 * (oyl + oyh), 0.5 * (ozl + ozh)
-    r_o = 0.5 * jnp.sqrt(jnp.maximum(
-        (oxh - oxl) ** 2 + (oyh - oyl) ** 2 + (ozh - ozl) ** 2, 0.0))
-    d2max = jnp.max(jnp.where(cull_live, dx * dx + dy * dy + dz * dz, 0.0))
-    inv_dmax = jax.lax.rsqrt(jnp.maximum(d2max, 1e-20))
-
-    def entry_bound(c):
-        # Lower bound on every contributing lane's entry param to cluster c.
-        ex, ey, ez = ccx[c] - omx, ccy[c] - omy, ccz[c] - omz
-        gap = jnp.sqrt(ex * ex + ey * ey + ez * ez) - crad[c] - r_o
-        return jnp.maximum(gap * inv_dmax, jnp.float32(mint))
-
-    # --- phase 1: per-lane listing + near-first keys
     def sup_body(s2, count):
         hit = slab_any(s0x[s2], s0y[s2], s0z[s2], s1x[s2], s1y[s2], s1z[s2])
 
@@ -422,7 +405,6 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
                 @pl.when(h)
                 def _():
                     hitlist_ref[count] = c
-                    keys_ref[count] = entry_bound(c)
 
                 return count + jnp.where(h, 1, 0)
 
@@ -437,51 +419,11 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
         lambda: jnp.int32(0),
     )
 
-    # --- stable counting sort of the work list by ascending entry bound
-    def key_minmax(k, mm):
-        kv = keys_ref[k]
-        return jnp.minimum(mm[0], kv), jnp.maximum(mm[1], kv)
-
-    kmin, kmax = jax.lax.fori_loop(
-        0, count, key_minmax, (jnp.float32(_BIG), jnp.float32(-_BIG)))
-    spread = kmax - kmin
-    inv_bw = jnp.where(spread > 1e-20, CULL_BINS / spread, 0.0)
-
-    def bin_of(key):
-        b = ((key - kmin) * inv_bw).astype(jnp.int32)
-        return jnp.clip(b, 0, CULL_BINS - 1)
-
-    for b in range(CULL_BINS + 1):
-        hist_ref[b] = jnp.int32(0)
-
-    def hist_body(k, acc):
-        b = bin_of(keys_ref[k])
-        hist_ref[b + 1] = hist_ref[b + 1] + 1
-        return acc
-
-    jax.lax.fori_loop(0, count, hist_body, jnp.int32(0))
-    for b in range(CULL_BINS):
-        hist_ref[b + 1] = hist_ref[b + 1] + hist_ref[b]
-
-    def place_body(k, acc):
-        key = keys_ref[k]
-        b = bin_of(key)
-        pos = hist_ref[b]
-        order_ref[pos] = hitlist_ref[k]
-        hist_ref[b] = pos + 1
-        return acc
-
-    jax.lax.fori_loop(0, count, place_body, jnp.int32(0))
-
-    # --- phase 2: ordered walk, per-lane re-prune, early break
-    # The walk stays a fori_loop (a while_loop whose cond reduces a vector
-    # carry stalls Mosaic); the break is a scalar `done` flag — once set, the
-    # remaining iterations cost ~10 scalar ops each.
-    bw = jnp.where(spread > 1e-20, spread * (1.0 / CULL_BINS), 0.0)
-
     def clu_work(k, state):
-        done, carry0 = state
-        c = order_ref[k]
+        nstill, carry = state
+        c = hitlist_ref[k]
+        still = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c],
+                         tmax=carry[0])
 
         def tri_one(j, carry):
             t_best, wnx, wny, wnz, wmat, wfam, widx = carry
@@ -515,33 +457,18 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             widx = jnp.where(valid, i, widx)
             return (t_best, wnx, wny, wnz, wmat, wfam, widx)
 
-        def process(carry):
-            still = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c],
-                             tmax=carry[0])
-            carry = jax.lax.cond(
-                still,
-                lambda cc: jax.lax.fori_loop(0, CULL_K, tri_one, cc),
-                lambda cc: cc,
-                carry,
-            )
-            # Early break: once the worst still-improvable winner among
-            # contributing lanes is at or below this cluster's bucket lower
-            # edge, no later cluster can win — keys ascend bucket-wise (the
-            # sort keeps leaf order only WITHIN a bucket, so the exact key
-            # would be unsound; the bucket edge bounds every later key).
-            t_worst = jnp.max(jnp.where(cull_live, carry[0], -_BIG))
-            bucket_lo = (kmin
-                         + bin_of(entry_bound(c)).astype(jnp.float32) * bw)
-            return bucket_lo >= t_worst, carry
-
-        return jax.lax.cond(
-            done, lambda cc: (jnp.bool_(True), cc), process, carry0
+        carry = jax.lax.cond(
+            still,
+            lambda cc: jax.lax.fori_loop(0, CULL_K, tri_one, cc),
+            lambda cc: cc,
+            carry,
         )
+        return nstill + jnp.where(still, 1, 0), carry
 
-    _, carry = jax.lax.fori_loop(
-        0, count, clu_work, (jnp.bool_(False), carry)
+    nstill, carry = jax.lax.fori_loop(
+        0, count, clu_work, (jnp.int32(0), carry)
     )
-    return carry
+    return carry, (count, count, nstill)
 
 
 def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
@@ -654,14 +581,17 @@ def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
 
         carry = pick(carry, tp, rows_n, pln, 2, 0, pln_normal)
 
+    cull_stats = (jnp.int32(0),) * 3
     if meta.get("culled"):
         # Triangles LAST: plane/sphere hits give every lane a t_best
         # ceiling before the cluster walk, feeding its per-lane and
         # early-break prunes.
-        carry = _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint,
-                             live, cull_scratch, carry)
+        carry, cull_stats = _culled_tris(
+            cull, meta, ox, oy, oz, dx, dy, dz, mint,
+            live, cull_scratch, carry
+        )
 
-    return carry
+    return carry, cull_stats
 
 
 def _shade(mat, meta, pix, frame, salt, state, winner):
@@ -814,12 +744,15 @@ def _gen_rays_inkernel(cam_ref, pix, frame, jitter_salt, mode):
 
 
 def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
-                     carry_in, collect, style, is_last):
+                     carry_in, collect, style, is_last, stats=False):
     """Whole-path kernel for one bounce group (nb <= MAX_GROUP bounces).
 
     RNG counters (frame, salt_base, jitter_salt) arrive as traced SMEM
     scalars, so ONE compilation serves every frame, AA sample, spp rank and
-    bounce-group offset."""
+    bounce-group offset.  With ``stats`` (culled path diagnostics) three
+    extra outputs carry per-tile cluster counters summed over the group's
+    bounces: listed, processed (pre-break), still-passed (triangle loops
+    actually run)."""
 
     def kernel(ctl_ref, *refs):
         pos = 0
@@ -841,8 +774,8 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
         if meta.get("culled"):
             cull = refs[pos:pos + 33]   # SMEM: 17 tri + 12 bounds + 4 sphere
             pos += 33
-            cull_scratch = refs[-4:]    # SMEM: hitlist, keys, hist, order
-            refs = refs[:-4]
+            cull_scratch = refs[-1:]    # SMEM: compacted work list
+            refs = refs[:-1]
         pix_ref = refs[pos]
         pos += 1
         frame = ctl_ref[0]
@@ -876,8 +809,12 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
 
         outs = refs[pos:]
         carry_out = outs[:16]
+        if stats:
+            stat_outs = outs[-3:]
+            outs = outs[:-3]
         state_outs = outs[16:] if collect else ()
 
+        stat_acc = [jnp.int32(0)] * 3
         state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
                  rr, rg, rb, active)
         for b in range(nb):
@@ -887,9 +824,10 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
                 for f, val in enumerate(state[:12]):
                     state_outs[f][0, sl, :] = val
                 state_outs[12][0, sl, :] = state[15].astype(jnp.float32)
-            winner = _search(tri, sph, pln, meta, *state[:6], mint,
-                             cull=cull, live=state[15],
-                             cull_scratch=cull_scratch)
+            winner, cull_stats = _search(tri, sph, pln, meta, *state[:6],
+                                         mint, cull=cull, live=state[15],
+                                         cull_scratch=cull_scratch)
+            stat_acc = [a + s for a, s in zip(stat_acc, cull_stats)]
             if collect:
                 hitmask = state[15] & (winner[5] >= 0)
                 state_outs[13][0, sl, :] = jnp.where(hitmask, winner[5], -1)
@@ -909,21 +847,25 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
              active.astype(jnp.float32)),
         ):
             ref[0] = val
+        if stats:
+            for ref, val in zip(stat_outs, stat_acc):
+                ref[0] = jnp.full((S, L), val, jnp.float32)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
     "meta_key", "mint", "nb", "gen_rays", "cam_mode",
-    "carry_in", "collect", "style", "is_last", "interpret"))
+    "carry_in", "collect", "style", "is_last", "interpret", "stats"))
 def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
                pix, rays, carry, meta_key, mint, nb, gen_rays, cam_mode,
-               carry_in, collect, style, is_last, interpret):
+               carry_in, collect, style, is_last, interpret, stats=False):
     meta = dict(meta_key)
     grid = pix.shape[0]
     kern = make_path_kernel(
         meta, mint, nb, gen_rays=gen_rays, cam_mode=cam_mode,
         carry_in=carry_in, collect=collect, style=style, is_last=is_last,
+        stats=stats,
     )
 
     def tab_spec(v):
@@ -945,12 +887,7 @@ def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
     if meta.get("culled"):
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cull_tables)
         args += list(cull_tables)
-        scratch += [
-            pltpu.SMEM((meta["n_clu"],), jnp.int32),    # hitlist
-            pltpu.SMEM((meta["n_clu"],), jnp.float32),  # entry-bound keys
-            pltpu.SMEM((CULL_BINS + 1,), jnp.int32),    # counting-sort hist
-            pltpu.SMEM((meta["n_clu"],), jnp.int32),    # ordered work list
-        ]
+        scratch.append(pltpu.SMEM((meta["n_clu"],), jnp.int32))
     in_specs.append(row)
     args.append(pix)
     if not gen_rays:
@@ -966,6 +903,9 @@ def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
         out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.float32)] * 13
         out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.int32)] * 2
         out_specs += [srow] * 15
+    if stats:
+        out_shapes += [jax.ShapeDtypeStruct((grid, S, L), jnp.float32)] * 3
+        out_specs += [row] * 3
     ctl = jnp.stack([
         jnp.asarray(frame, jnp.uint32),
         jnp.asarray(salt_base, jnp.uint32),
@@ -1334,7 +1274,7 @@ class PathTracer:
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
               style="reference", interpret=False, collect_states=False,
               gen_rays=False, cam_params=None, cam_mode=PINHOLE,
-              jitter_salt=0):
+              jitter_salt=0, stats=False):
         """Trace full paths.  Returns (r, g, b) flat [N] radiance — plus,
         with ``collect_states``, the residual record for bwd_path.
 
@@ -1358,6 +1298,7 @@ class PathTracer:
         groups = _groups(max_bounces)
         carry = None
         records = []
+        stat_rows = []
         for gi, (start, g) in enumerate(groups):
             outs = _path_call(
                 frame,
@@ -1369,14 +1310,24 @@ class PathTracer:
                 self.meta_key, self.mint, g,
                 gen_rays and gi == 0, cam_mode,
                 gi > 0, collect_states, style, gi == len(groups) - 1,
-                interpret,
+                interpret, stats,
             )
+            if stats:
+                stat_rows.append(tuple(o[:, 0, 0] for o in outs[-3:]))
+                outs = outs[:-3]
             carry = outs[:16]
             if collect_states:
                 records.append((g, outs[16:29], outs[29], outs[30]))
 
         rr, rg, rb = carry[12], carry[13], carry[14]
         res = (_from_tiles(rr, n), _from_tiles(rg, n), _from_tiles(rb, n))
+        if stats:
+            # Per-tile (listed, processed, still-passed) cluster counts
+            # summed over all bounces: [grid] each.
+            agg = tuple(sum(r[i] for r in stat_rows) for i in range(3))
+            if collect_states:
+                return res, dict(pix=pix, groups=tuple(records)), agg
+            return res, agg
         if collect_states:
             record = dict(pix=pix, groups=tuple(records))
             return res, record
