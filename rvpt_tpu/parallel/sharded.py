@@ -95,12 +95,23 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     (tested); spp ranks reproduce the XLA path's aa_offset salt layout.
     """
     from ..models.integrators import AA_STRIDE
-    from ..ops.pathkernel import PathTracer, camera_params
-    from ..render import _INTEGRATOR_SITE, _JITTER_SITE
+    from ..ops.pathkernel import CULL_MAX_TRIS, PathTracer, camera_params
+    from ..render import _INTEGRATOR_SITE, _JITTER_SITE, _block_order
 
     n_tiles = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
-    pixel, _, _, n = _padded_grid(cfg, n_tiles)
+    pixel, _, _ = _pixel_grid(cfg)
+    inv_ord = None
+    if scene.bvh is not None and 0 < scene.num_triangles <= CULL_MAX_TRIS:
+        # Culled mesh scenes: permute pixels into compact screen blocks
+        # BEFORE sharding, so each shard's kernel tiles stay frustum-tight
+        # (raw raster order would hand every tile a ~4-row film strip).
+        order, inv_ord = _block_order(cfg.width, cfg.height)
+        pixel = pixel[order]
+    n = pixel.shape[0]
+    pad = (-n) % n_tiles
+    if pad:
+        pixel = jnp.concatenate([pixel, pixel[:pad]])
     cp = camera_params(camera, cfg)
 
     @partial(
@@ -135,7 +146,10 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
 
     frame = jnp.asarray(frame, jnp.uint32)
     sampled = tile_render(pixel, scene, cp, frame)
-    return sampled[:, :n].reshape(3, cfg.height, cfg.width)
+    out = sampled[:, :n]
+    if inv_ord is not None:
+        out = out[:, inv_ord]
+    return out.reshape(3, cfg.height, cfg.width)
 
 
 def render_frame_sharded(scene, camera, settings, cfg, film, dirty, mesh):

@@ -137,3 +137,23 @@ def test_sharded_fast_path_kernel():
     )
     rank1 = np.stack([np.asarray(r1), np.asarray(g1), np.asarray(b1)]).reshape(3, 32, 64)
     assert np.allclose(img2, (ref + rank1) / 2.0, atol=1e-6)
+
+
+def test_sharded_fast_culled_mesh():
+    """BVH mesh scenes through the sharded fast path: pixels are permuted
+    into compact screen blocks before sharding (frustum-tight kernel tiles)
+    and unpermuted after — must equal the single-device fast display path."""
+    from rvpt_tpu.parallel.sharded import render_sample_sharded_fast
+    from rvpt_tpu.render import render_sample_fast_chw
+
+    scene, cam = builtin.mesh_demo(subdiv=1, aspect=2.0)
+    assert scene.bvh is not None
+    cfg = FilmConfig(width=64, height=32)
+    st = RenderSettings(max_bounces=3)
+
+    ref = np.asarray(render_sample_fast_chw(scene, cam, st, cfg, 0))
+    mesh = mesh_mod.make_mesh(8, 1)
+    img = np.asarray(render_sample_sharded_fast(
+        scene, cam, st, cfg, 0, mesh, interpret=True))
+    assert img.shape == ref.shape == (3, 32, 64)
+    assert np.allclose(img, ref, atol=1e-6)
