@@ -105,6 +105,18 @@ def main() -> None:
         f" -> {width*height*8/dt_mesh/1e6:.1f} Mrays/s", file=sys.stderr,
     )
 
+    # --- supplementary: big mesh beyond SMEM capacity (chunked kernel)
+    big_scene, big_cam = builtin.mesh_demo(subdiv=5, aspect=cfg.aspect)
+    big_fwd = jax.jit(
+        lambda f: render_sample_fast_chw(big_scene, big_cam, mesh_settings, cfg, f)
+    )
+    dt_big = bench(big_fwd, jnp.uint32(1), iters=2)
+    print(
+        f"mesh {big_scene.num_triangles} tris, 8 bounces (chunked kernel): "
+        f"{dt_big*1e3:.2f} ms/frame -> {width*height*8/dt_big/1e6:.1f} Mrays/s",
+        file=sys.stderr,
+    )
+
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
     print(

@@ -100,14 +100,31 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
       - "auto": "pallas" when every scene table fits the kernel's one-hot
         select width, else "soa".
     """
+    from .pathkernel import CULL_MAX_TRIS, BigMeshTracer
+
+    bigmesh = (scene_template.bvh is not None
+               and scene_template.num_triangles > CULL_MAX_TRIS)
     if backward == "auto":
-        backward = "pallas" if scene_template.num_triangles <= 1024 else "soa"
+        backward = ("soa" if bigmesh
+                    else "pallas" if scene_template.num_triangles <= 1024
+                    else "soa")
     if backward == "pallas":
         return _make_fast_kajiya_pk(
             scene_template, salt_base, max_bounces, style, interpret
         )
 
     def _fwd_trace(scene, origin, direction, pixel, frame, salt):
+        if bigmesh:
+            # Chunked per-bounce kernel forward; hit records come straight
+            # from its collect outputs (fams/idxs already [B, N]).
+            bt = BigMeshTracer(scene)
+            (r, g, b), (fams, idxs) = bt.trace(
+                pixel, origin, direction, frame,
+                jnp.asarray(salt, jnp.uint32) + jnp.uint32(salt_base),
+                max_bounces, style=style, interpret=interpret,
+                collect_hits=True,
+            )
+            return jnp.stack([r, g, b], axis=-1), fams, idxs
         pt = PathTracer(scene)
         (r, g, b), record = pt.trace(
             pixel, origin, direction, frame,

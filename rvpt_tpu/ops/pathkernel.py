@@ -159,13 +159,9 @@ def pack_cull(scene: Scene) -> tuple[tuple, dict]:
                   axis=1)
     sb1 = jnp.max(jnp.pad(cb1, pad_c, mode="edge").reshape(n_sup, CULL_G, 3),
                   axis=1)
-    # Per-cluster bounding-sphere center/radius: sound entry-distance lower
-    # bounds for the near-first ordering + early break in _culled_tris.
-    cc = 0.5 * (cb0 + cb1)
-    cr = 0.5 * jnp.sqrt(jnp.sum((cb1 - cb0) ** 2, axis=1))
     bound_tabs = tuple(a[:, k] for a in (sb0, sb1) for k in range(3)) + tuple(
         a[:, k] for a in (cb0, cb1) for k in range(3)
-    ) + (cc[:, 0], cc[:, 1], cc[:, 2], cr)
+    )
     meta = dict(n_clu=n_clu, n_sup=n_sup, num_tri=t)
     return tri_tabs + bound_tabs, meta
 
@@ -310,7 +306,7 @@ def _rng(pix, frame, salt):
 
 
 def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
-                 scratch, carry):
+                 scratch, carry, tri_base=0):
     """Cluster-culled triangle closest-hit for SMEM-resident meshes.
 
     Phase 1 walks supergroup→cluster AABBs with per-lane slab tests against
@@ -343,8 +339,7 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
     """
     tabs = cull[:17]
     (s0x, s0y, s0z, s1x, s1y, s1z,
-     c0x, c0y, c0z, c1x, c1y, c1z,
-     ccx, ccy, ccz, crad) = cull[17:33]
+     c0x, c0y, c0z, c1x, c1y, c1z) = cull[17:29]
     n_clu, n_sup = meta["n_clu"], meta["n_sup"]
     hitlist_ref = scratch[0]
 
@@ -454,7 +449,7 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
             wnz = jnp.where(valid, nz, wnz)
             wmat = jnp.where(valid, mat_i, wmat)
             wfam = jnp.where(valid, 0, wfam)
-            widx = jnp.where(valid, i, widx)
+            widx = jnp.where(valid, tri_base + i, widx)
             return (t_best, wnx, wny, wnz, wmat, wfam, widx)
 
         carry = jax.lax.cond(
@@ -772,8 +767,8 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
         pos += 35
         cull = cull_scratch = None
         if meta.get("culled"):
-            cull = refs[pos:pos + 33]   # SMEM: 17 tri + 12 bounds + 4 sphere
-            pos += 33
+            cull = refs[pos:pos + 29]   # SMEM: 17 tri tables + 12 bounds
+            pos += 29
             cull_scratch = refs[-1:]    # SMEM: compacted work list
             refs = refs[:-1]
         pix_ref = refs[pos]
@@ -1422,3 +1417,263 @@ def camera_params(cam, cfg) -> jnp.ndarray:
                      float(cfg.width)], jnp.float32),
         jnp.zeros((3,), jnp.float32),
     ]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Big-mesh chunked path: beyond SMEM capacity (CULL_MAX_TRIS), one launch
+# per bounce streams the triangle tables chunk-by-chunk through SMEM
+# ---------------------------------------------------------------------------
+
+BIG_CHUNK_T = 4096                       # triangles streamed per chunk step
+BIG_CHUNK_CLU = BIG_CHUNK_T // CULL_K    # clusters per chunk
+BIG_CHUNK_SUP = BIG_CHUNK_CLU // CULL_G  # supergroups per chunk
+BIG_BOUND_PAD = 1024  # bound-table strides (XLA tiles 1D arrays at T(1024))
+
+
+def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
+    """Chunked SMEM tables for meshes beyond CULL_MAX_TRIS.
+
+    Same leaf-ordered cluster/supergroup structure as pack_cull, reshaped to
+    [n_chunks, BIG_CHUNK_*] so a second grid axis streams one chunk's tables
+    through SMEM per step (double-buffered by the Pallas pipeline; the whole
+    mesh never has to fit).  Padded clusters get INVERTED boxes (+inf/-inf)
+    so their slab test can never pass.
+
+    Tables are FLAT 1D with per-chunk strides (XLA tiles 1D arrays at
+    T(1024), so every stride is a 1024-multiple): 17 triangle tables
+    [n_chunks * BIG_CHUNK_T], then 6 supergroup + 6 cluster bound tables
+    [n_chunks * BIG_BOUND_PAD] (entries beyond BIG_CHUNK_SUP/BIG_CHUNK_CLU
+    are inverted-box padding).  Returns (tables, meta).
+    """
+    t = scene.num_triangles
+    if t < 1:
+        raise ValueError("chunked path needs triangles")
+    tp = -(-t // CULL_K) * CULL_K
+    n_clu = tp // CULL_K
+    n_chunks = -(-n_clu // BIG_CHUNK_CLU)
+    clu_pad = n_chunks * BIG_CHUNK_CLU - n_clu
+    tri_pad = n_chunks * BIG_CHUNK_T - tp
+
+    fields = _tri_fields(scene)
+
+    def flat(a):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, (0, tp - t + tri_pad))
+
+    tri_tabs = tuple(flat(fields[k]) for k in TRI_FIELDS)
+
+    bmin = jnp.minimum(jnp.minimum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
+    bmax = jnp.maximum(jnp.maximum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
+    eps = 1e-4 * jnp.max(bmax) - 1e-4 * jnp.min(bmin) + 1e-6
+    pad_tri = ((0, tp - t), (0, 0))
+    bmin = jnp.pad(bmin, pad_tri, mode="edge")
+    bmax = jnp.pad(bmax, pad_tri, mode="edge")
+    cb0 = jnp.min(bmin.reshape(n_clu, CULL_K, 3), axis=1) - eps
+    cb1 = jnp.max(bmax.reshape(n_clu, CULL_K, 3), axis=1) + eps
+    # Padded clusters: inverted boxes never pass a slab test.
+    cb0 = jnp.concatenate([cb0, jnp.full((clu_pad, 3), _BIG, jnp.float32)])
+    cb1 = jnp.concatenate([cb1, jnp.full((clu_pad, 3), -_BIG, jnp.float32)])
+    cb0c = cb0.reshape(n_chunks, BIG_CHUNK_CLU, 3)
+    cb1c = cb1.reshape(n_chunks, BIG_CHUNK_CLU, 3)
+    sb0 = jnp.min(cb0c.reshape(n_chunks, BIG_CHUNK_SUP, CULL_G, 3), axis=2)
+    sb1 = jnp.max(cb1c.reshape(n_chunks, BIG_CHUNK_SUP, CULL_G, 3), axis=2)
+    sup_pad = ((0, 0), (0, BIG_BOUND_PAD - BIG_CHUNK_SUP), (0, 0))
+    sb0 = jnp.pad(sb0, sup_pad, constant_values=_BIG)
+    sb1 = jnp.pad(sb1, sup_pad, constant_values=-_BIG)
+    clu_pad2 = ((0, 0), (0, BIG_BOUND_PAD - BIG_CHUNK_CLU), (0, 0))
+    cb0c = jnp.pad(cb0c, clu_pad2, constant_values=_BIG)
+    cb1c = jnp.pad(cb1c, clu_pad2, constant_values=-_BIG)
+    bound_tabs = tuple(
+        a[:, :, k].reshape(-1) for a in (sb0, sb1) for k in range(3)
+    ) + tuple(a[:, :, k].reshape(-1) for a in (cb0c, cb1c) for k in range(3))
+    meta = dict(n_chunks=n_chunks, num_tri=t)
+    return tri_tabs + bound_tabs, meta
+
+
+def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
+    """One bounce of the big-mesh path.  Grid (tiles, chunks), chunks inner:
+    chunk 0 seeds the winner with the dense sphere/plane search, every chunk
+    folds its clusters through the per-lane culled walk (_culled_tris with a
+    global triangle-index base), the last chunk shades and writes the next
+    bounce state.  The winner carry lives in VMEM scratch across chunk
+    steps.  With ``collect``, two extra outputs carry this bounce's hit
+    records (family, global index; -1 where inactive/miss) for the
+    replay-from-hits backward (ops.fast_grad)."""
+    n_chunks = meta["n_chunks"]
+    chunk_meta = dict(meta, n_clu=BIG_CHUNK_CLU, n_sup=BIG_CHUNK_SUP)
+
+    def kernel(ctl_ref, *refs):
+        tri = dict(zip(TRI_FIELDS, refs[0:17]))       # dummy (has_tri False)
+        sph = dict(zip(SPH_FIELDS, refs[17:22]))
+        pln = dict(zip(PLN_FIELDS, refs[22:27]))
+        mat = dict(zip(MAT_FIELDS, refs[27:35]))
+        for d in (sph, pln, mat):
+            for k in d:
+                d[k] = d[k][...]
+        chunk_refs = refs[35:64]                      # 17 tri + 12 bounds
+        pix_ref = refs[64]
+        state_refs = refs[65:81]
+        outs = refs[81:97]
+        rec_outs = ()
+        scratch_at = 97
+        if collect:
+            rec_outs = refs[97:99]
+            scratch_at = 99
+        winf, wini, hitlist = (refs[scratch_at], refs[scratch_at + 1],
+                               refs[scratch_at + 2])
+
+        c = pl.program_id(1)
+        frame = ctl_ref[0]
+        salt = ctl_ref[1]
+        pix = pix_ref[0]
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+         rr, rg, rb, act_f) = (r[0] for r in state_refs)
+        active = act_f > 0.0
+
+        @pl.when(c == 0)
+        def _seed():
+            carry0, _ = _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz,
+                                mint)
+            for j in range(5):
+                winf[j] = carry0[j]
+            wini[0] = carry0[5]
+            wini[1] = carry0[6]
+
+        carry = (winf[0], winf[1], winf[2], winf[3], winf[4],
+                 wini[0], wini[1])
+        cull_chunk = chunk_refs
+        carry, _ = _culled_tris(
+            cull_chunk, chunk_meta, ox, oy, oz, dx, dy, dz, mint,
+            active, (hitlist,), carry, tri_base=c * BIG_CHUNK_T,
+        )
+        for j in range(5):
+            winf[j] = carry[j]
+        wini[0] = carry[5]
+        wini[1] = carry[6]
+
+        @pl.when(c == n_chunks - 1)
+        def _finish():
+            state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+                     rr, rg, rb, active)
+            if collect:
+                hitmask = active & (carry[5] >= 0)
+                rec_outs[0][0] = jnp.where(hitmask, carry[5], -1)
+                rec_outs[1][0] = jnp.where(hitmask, carry[6], -1)
+            new = _shade(mat, meta, pix, frame, salt, state, carry)
+            (ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, cr2, cg2, cb2,
+             rr2, rg2, rb2, active2) = new
+            if is_last and style == "standard":
+                rr2 = jnp.where(active2, rr2 + cr2, rr2)
+                rg2 = jnp.where(active2, rg2 + cg2, rg2)
+                rb2 = jnp.where(active2, rb2 + cb2, rb2)
+            for ref, val in zip(outs, (
+                ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
+                cr2, cg2, cb2, rr2, rg2, rb2, active2.astype(jnp.float32),
+            )):
+                ref[0] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "meta_key", "mint", "style", "is_last", "interpret", "collect"))
+def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state,
+                  meta_key, mint, style, is_last, interpret, collect=False):
+    meta = dict(meta_key)
+    grid = pix.shape[0]
+    n_chunks = meta["n_chunks"]
+    kern = make_bigmesh_kernel(meta, mint, style=style, is_last=is_last,
+                               collect=collect)
+
+    def tab_spec(v):
+        return pl.BlockSpec(v.shape, lambda t, c: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def chunk_spec(v):
+        stride = v.shape[0] // n_chunks
+        return pl.BlockSpec((stride,), lambda t, c: (c,),
+                            memory_space=pltpu.SMEM)
+
+    row = pl.BlockSpec((1, S, L), lambda t, c: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [tab_spec(v) for v in tables]
+                + [chunk_spec(v) for v in chunk_tables]
+                + [row] * 17)
+    out_shapes = [
+        jax.ShapeDtypeStruct((grid, S, L), jnp.float32) for _ in range(16)
+    ]
+    n_out = 16
+    if collect:
+        out_shapes += [jax.ShapeDtypeStruct((grid, S, L), jnp.int32)] * 2
+        n_out = 18
+    ctl = jnp.stack([jnp.asarray(frame, jnp.uint32),
+                     jnp.asarray(salt, jnp.uint32)])
+    return pl.pallas_call(
+        kern, grid=(grid, n_chunks),
+        in_specs=in_specs, out_specs=tuple([row] * n_out),
+        out_shape=tuple(out_shapes), interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((5, S, L), jnp.float32),   # winner t/normal/mat
+            pltpu.VMEM((2, S, L), jnp.int32),     # winner fam/idx
+            pltpu.SMEM((BIG_CHUNK_CLU,), jnp.int32),
+        ],
+    )(ctl, *tables, *chunk_tables, pix, *state)
+
+
+class BigMeshTracer:
+    """Whole-path tracer for meshes beyond CULL_MAX_TRIS.
+
+    One kernel launch per bounce (ray state rides HBM rows between bounces
+    — ~0.2 ms/bounce at 1080p, negligible at big-mesh frame times); within a
+    launch a second grid axis streams the leaf-ordered triangle tables
+    through SMEM chunk by chunk.  Same bounce semantics as PathTracer."""
+
+    def __init__(self, scene: Scene, mint: float = 0.0):
+        if scene.bvh is None:
+            raise ValueError("BigMeshTracer needs a BVH-attached scene "
+                             "(leaf-ordered triangles)")
+        self.scene = scene
+        self.mint = float(mint)
+        self.tables, self.meta = pack_fwd(scene, culled=True)
+        self.chunk_tables, cm = pack_cull_chunked(scene)
+        self.meta.update(cm)
+        self.meta_key = tuple(sorted(self.meta.items()))
+
+    def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
+              style="reference", interpret=False, collect_hits=False):
+        """Trace full paths -> (r, g, b) flat [N] radiance.
+
+        With ``collect_hits`` also returns (fams, idxs) i32[B, N] per-bounce
+        hit records in the replay-from-hits layout (ops.fast_grad)."""
+        n = pixel.shape[0]
+        pix = _to_tiles(pixel)
+        if isinstance(origin, tuple):
+            o0, o1, o2 = origin
+            d0, d1, d2 = direction
+        else:
+            o0, o1, o2 = origin[:, 0], origin[:, 1], origin[:, 2]
+            d0, d1, d2 = direction[:, 0], direction[:, 1], direction[:, 2]
+        ones = jnp.ones_like(pix, jnp.float32)
+        zeros = jnp.zeros_like(pix, jnp.float32)
+        state = tuple(_to_tiles(v) for v in (o0, o1, o2, d0, d1, d2)) + (
+            ones, ones, ones, zeros, zeros, zeros, zeros, zeros, zeros, ones,
+        )
+        frame = jnp.asarray(frame, jnp.uint32)
+        fams, idxs = [], []
+        for b in range(int(max_bounces)):
+            outs = _bigmesh_call(
+                frame, jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(b * 4),
+                self.tables, self.chunk_tables, pix, state,
+                self.meta_key, self.mint, style,
+                b == int(max_bounces) - 1, interpret, collect_hits,
+            )
+            state = outs[:16]
+            if collect_hits:
+                fams.append(_from_tiles(outs[16], n))
+                idxs.append(_from_tiles(outs[17], n))
+        rr, rg, rb = state[12], state[13], state[14]
+        res = (_from_tiles(rr, n), _from_tiles(rg, n), _from_tiles(rb, n))
+        if collect_hits:
+            return res, (jnp.stack(fams), jnp.stack(idxs))
+        return res

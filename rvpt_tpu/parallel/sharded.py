@@ -102,10 +102,12 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     n_spp = mesh.shape[SPP_AXIS]
     pixel, _, _ = _pixel_grid(cfg)
     inv_ord = None
-    if scene.bvh is not None and 0 < scene.num_triangles <= CULL_MAX_TRIS:
-        # Culled mesh scenes: permute pixels into compact screen blocks
-        # BEFORE sharding, so each shard's kernel tiles stay frustum-tight
-        # (raw raster order would hand every tile a ~4-row film strip).
+    bigmesh = scene.bvh is not None and scene.num_triangles > CULL_MAX_TRIS
+    if scene.bvh is not None and scene.num_triangles > 0:
+        # Mesh scenes (culled or chunked): permute pixels into compact
+        # screen blocks BEFORE sharding, so each shard's kernel tiles stay
+        # frustum-tight (raw raster order would hand every tile a ~4-row
+        # film strip).
         order, inv_ord = _block_order(cfg.width, cfg.height)
         pixel = pixel[order]
     n = pixel.shape[0]
@@ -122,19 +124,40 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
         check_vma=False,
     )
     def tile_render(pixel, scene, cp, frame):
+        from ..core import rng
+        from ..models import camera as camera_mod
+        from ..ops.pathkernel import BigMeshTracer
+
         rank = jax.lax.axis_index(SPP_AXIS).astype(jnp.uint32)
-        pt = PathTracer(scene)
+        pt = BigMeshTracer(scene) if bigmesh else PathTracer(scene)
         acc_r = acc_g = acc_b = 0.0
         for i in range(settings.aa):
             salt0 = (jnp.uint32(i) + rank * jnp.uint32(settings.aa)) * jnp.uint32(AA_STRIDE)
-            r, g, b = pt.trace(
-                pixel, None, None, frame,
-                salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
-                max_bounces=settings.max_bounces, style=settings.style,
-                gen_rays=True, cam_params=cp, cam_mode=camera.mode,
-                jitter_salt=salt0 + jnp.uint32(_JITTER_SITE),
-                interpret=interpret,
-            )
+            if bigmesh:
+                # The chunked kernel has no in-kernel raygen; generate shard
+                # rays in XLA with the display path's exact jitter salts.
+                ju, jv = rng.uniform2(
+                    pixel, frame, salt0 + jnp.uint32(_JITTER_SITE))
+                xs = (pixel % jnp.uint32(cfg.width)).astype(jnp.float32)
+                ys = (pixel // jnp.uint32(cfg.width)).astype(jnp.float32)
+                cx = (xs + ju) / cfg.width
+                cy = 1.0 - (ys + jv) / cfg.height
+                ray = camera_mod.generate_rays(camera, cx, cy)
+                r, g, b = pt.trace(
+                    pixel, ray.origin, ray.direction, frame,
+                    salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
+                    max_bounces=settings.max_bounces, style=settings.style,
+                    interpret=interpret,
+                )
+            else:
+                r, g, b = pt.trace(
+                    pixel, None, None, frame,
+                    salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
+                    max_bounces=settings.max_bounces, style=settings.style,
+                    gen_rays=True, cam_params=cp, cam_mode=camera.mode,
+                    jitter_salt=salt0 + jnp.uint32(_JITTER_SITE),
+                    interpret=interpret,
+                )
             acc_r = acc_r + r
             acc_g = acc_g + g
             acc_b = acc_b + b

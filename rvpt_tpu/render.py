@@ -123,7 +123,7 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     if set(settings.modes()) != {9}:
         return False
     if scene.bvh is not None:
-        return scene.num_triangles <= CULL_MAX_TRIS
+        return True   # <= CULL_MAX_TRIS: SMEM culled; beyond: chunked path
     return scene.num_triangles <= 1024
 
 
@@ -164,7 +164,10 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
 def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                   frame):
     from .models.integrators import AA_STRIDE
-    from .ops.pathkernel import PathTracer, camera_params
+    from .ops.pathkernel import CULL_MAX_TRIS, PathTracer, camera_params
+
+    if scene.bvh is not None and scene.num_triangles > CULL_MAX_TRIS:
+        return _bigmesh_chw(scene, camera, settings, cfg, frame)
 
     pt = PathTracer(scene)
     cam_params = camera_params(camera, cfg)
@@ -194,6 +197,46 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     chans = [acc_r * scale, acc_g * scale, acc_b * scale]
     if inv is not None:
         chans = [c[inv] for c in chans]
+    return jnp.stack(chans).reshape(3, cfg.height, cfg.width)
+
+
+def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
+                 frame):
+    """Display path for BVH meshes beyond the SMEM capacity: the chunked
+    per-bounce kernel (ops.pathkernel.BigMeshTracer).  Rays are generated
+    host-of-kernel (XLA) with the same jitter salts as render_pixels, so the
+    image matches the XLA integrator exactly."""
+    from .ops.pathkernel import BigMeshTracer
+
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon") or (
+        jax.devices() and "tpu" in jax.devices()[0].platform.lower()
+    )
+    bt = BigMeshTracer(scene)
+    pixel, xs, ys = _pixel_grid(cfg)
+    order, inv_ord = _block_order(cfg.width, cfg.height)
+    pixel, xs, ys = pixel[order], xs[order], ys[order]
+    frame = jnp.asarray(frame, jnp.uint32)
+    inv_w, inv_h = 1.0 / cfg.width, 1.0 / cfg.height
+    acc_r = acc_g = acc_b = 0.0
+    for i in range(settings.aa):
+        salt0 = jnp.uint32(i * AA_STRIDE)
+        ju, jv = rng.uniform2(pixel, frame, salt0 + jnp.uint32(_JITTER_SITE))
+        cx = (xs.astype(jnp.float32) + ju) * inv_w
+        cy = 1.0 - (ys.astype(jnp.float32) + jv) * inv_h
+        ray = camera_mod.generate_rays(camera, cx, cy)
+        r, g, b = bt.trace(
+            pixel, ray.origin, ray.direction, frame,
+            salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
+            max_bounces=settings.max_bounces, style=settings.style,
+            interpret=not on_tpu,
+        )
+        acc_r = acc_r + r
+        acc_g = acc_g + g
+        acc_b = acc_b + b
+    scale = 1.0 / settings.aa
+    chans = [(acc_r * scale)[inv_ord], (acc_g * scale)[inv_ord],
+             (acc_b * scale)[inv_ord]]
     return jnp.stack(chans).reshape(3, cfg.height, cfg.width)
 
 

@@ -240,3 +240,64 @@ def test_fast_grad_culled_mesh_matches_autodiff():
     assert np.allclose(g_fast, g_xla, rtol=2e-2, atol=1e-5), (
         f"max abs diff {np.abs(g_fast - g_xla).max()}"
     )
+
+
+def test_fast_grad_bigmesh_matches_autodiff(monkeypatch):
+    """Meshes beyond CULL_MAX_TRIS: the chunked kernel forward emits hit
+    records and the SoA replay backward reproduces XLA autodiff."""
+    from rvpt_tpu.ops import pathkernel as pk
+    from rvpt_tpu.scene.bvh import attach_bvh
+    from rvpt_tpu.scene.scene import SceneBuilder
+
+    monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    monkeypatch.setattr(pk, "CULL_MAX_TRIS", 64)
+
+    rng_np = np.random.default_rng(23)
+    n_tri = 120
+    c = rng_np.uniform(-2, 2, size=(n_tri, 3)).astype(np.float32)
+    c[:, 2] += 4.0
+    e1 = rng_np.normal(0, 0.5, size=(n_tri, 3)).astype(np.float32)
+    e2 = rng_np.normal(0, 0.5, size=(n_tri, 3)).astype(np.float32)
+    b = SceneBuilder()
+    m = b.add_material(albedo=(0.6, 0.5, 0.4))
+    for a, v1, v2 in zip(c, c + e1, c + e2):
+        b.add_triangle(tuple(a), tuple(v1), tuple(v2), m)
+    lm = b.add_material(albedo=(0, 0, 0), emission=(4, 4, 4))
+    b.add_sphere((0.0, 5.0, 2.0), 1.0, lm)
+    scene = attach_bvh(b.build())
+
+    cfg = FilmConfig(width=16, height=8)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    from rvpt_tpu.core import rng
+    from rvpt_tpu.models import camera as camera_mod
+    from rvpt_tpu.render import _pixel_grid
+
+    pixel, xs, ys = _pixel_grid(cfg)
+    ju, jv = rng.uniform2(pixel, jnp.uint32(0), jnp.uint32(0))
+    cx = (xs.astype(jnp.float32) + ju) / cfg.width
+    cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
+    ray = camera_mod.generate_rays(cam, cx, cy)
+    frame = jnp.uint32(1)
+    st = RenderSettings(max_bounces=2, style="standard")
+
+    def loss_xla(albedo):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s = dataclasses.replace(scene, materials=mats)
+        col = integrator_kajiya(s, ray, pixel, frame, st, salt_base=jnp.uint32(16))
+        return jnp.mean(col)
+
+    trace = make_fast_kajiya(scene, 16, 2, style="standard", interpret=True)
+
+    def loss_fast(albedo):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s = dataclasses.replace(scene, materials=mats)
+        return jnp.mean(trace(s, ray.origin, ray.direction, pixel, frame))
+
+    g_xla = np.asarray(jax.grad(loss_xla)(scene.materials.albedo))
+    g_fast = np.asarray(jax.grad(loss_fast)(scene.materials.albedo))
+    assert np.abs(g_xla).max() > 0
+    assert np.allclose(g_fast, g_xla, rtol=2e-2, atol=1e-5), (
+        f"max abs diff {np.abs(g_fast - g_xla).max()}"
+    )

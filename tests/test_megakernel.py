@@ -165,6 +165,79 @@ def test_megakernel_culled_order_and_break_sound(layout):
     assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
 
 
+def test_bigmesh_tracer_matches_xla(monkeypatch):
+    """The chunked big-mesh path (one launch per bounce, triangle tables
+    streamed through SMEM) must match the XLA integrator.  BIG_CHUNK_T is
+    shrunk so a small soup exercises MULTIPLE chunks, including the padded
+    (inverted-box) tail clusters."""
+    from rvpt_tpu.ops import pathkernel as pk
+
+    monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+
+    rng_np = np.random.default_rng(11)
+    n_tri = 1500  # ceil(1500/16)=94 clusters -> 2 chunks of 64 at CHUNK=1024
+    c = rng_np.uniform(-3, 3, size=(n_tri, 3)).astype(np.float32)
+    c[:, 2] += 5.0
+    e1 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    e2 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    scene = _bvh_mesh_scene(c, c + e1, c + e2)
+
+    cfg = FilmConfig(width=24, height=16)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(2)
+    st = RenderSettings(max_bounces=3)
+
+    ref = np.asarray(
+        integrator_kajiya(scene, ray, pixel, frame, st, salt_base=jnp.uint32(16))
+    )
+    bt = pk.BigMeshTracer(scene)
+    assert bt.meta["n_chunks"] >= 2, "test must span multiple chunks"
+    r, g, b = bt.trace(
+        pixel, ray.origin, ray.direction, frame, salt_base=16,
+        max_bounces=3, interpret=True,
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
+
+
+def test_bigmesh_display_path_matches_xla(monkeypatch):
+    """render_sample_fast_chw routes >CULL_MAX_TRIS BVH scenes through the
+    chunked kernel with the XLA path's exact jitter/integrator salts."""
+    from rvpt_tpu.ops import intersect as intersect_mod
+    from rvpt_tpu.ops import pathkernel as pk
+    from rvpt_tpu.render import render_sample_chw, render_sample_fast_chw
+
+    monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    monkeypatch.setattr(pk, "CULL_MAX_TRIS", 256)
+
+    rng_np = np.random.default_rng(13)
+    n_tri = 400
+    c = rng_np.uniform(-3, 3, size=(n_tri, 3)).astype(np.float32)
+    c[:, 2] += 5.0
+    e1 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    e2 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    scene = _bvh_mesh_scene(c, c + e1, c + e2)
+    assert scene.num_triangles > pk.CULL_MAX_TRIS
+
+    cfg = FilmConfig(width=32, height=16)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    st = RenderSettings(max_bounces=2, aa=2)
+
+    ref = np.asarray(render_sample_chw(scene, cam, st, cfg, 1))
+    # Force kernel eligibility on CPU only for the fast path (the chunked
+    # kernel itself runs in interpreter mode off-TPU).
+    monkeypatch.setattr(intersect_mod, "_BACKEND", "pallas")
+    got = np.asarray(render_sample_fast_chw(scene, cam, st, cfg, 1))
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
+
+
 def test_megakernel_culled_pack_bounds():
     """Cluster/supergroup AABBs from pack_cull must contain their triangles."""
     from rvpt_tpu.ops.pathkernel import CULL_K, pack_cull

@@ -157,3 +157,51 @@ def test_sharded_fast_culled_mesh():
         scene, cam, st, cfg, 0, mesh, interpret=True))
     assert img.shape == ref.shape == (3, 32, 64)
     assert np.allclose(img, ref, atol=1e-6)
+
+
+def test_sharded_fast_bigmesh(monkeypatch):
+    """Meshes beyond CULL_MAX_TRIS route through the chunked kernel per
+    shard; the sharded image must equal the XLA reference path."""
+    from rvpt_tpu.ops import pathkernel as pk
+    from rvpt_tpu.parallel.sharded import render_sample_sharded_fast
+    from rvpt_tpu.render import render_sample_chw
+    from rvpt_tpu.scene.bvh import attach_bvh
+    from rvpt_tpu.scene.scene import SceneBuilder
+
+    monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    monkeypatch.setattr(pk, "CULL_MAX_TRIS", 256)
+
+    rng_np = np.random.default_rng(17)
+    n_tri = 400
+    c = rng_np.uniform(-3, 3, size=(n_tri, 3)).astype(np.float32)
+    c[:, 2] += 5.0
+    e1 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    e2 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    b = SceneBuilder()
+    m = b.add_material(albedo=(0.6, 0.6, 0.6))
+    for a, v1, v2 in zip(c, c + e1, c + e2):
+        b.add_triangle(tuple(a), tuple(v1), tuple(v2), m)
+    lm = b.add_material(albedo=(0, 0, 0), emission=(4, 4, 4))
+    b.add_sphere((0.0, 6.0, 2.0), 1.0, lm)
+    scene = attach_bvh(b.build())
+
+    cfg = FilmConfig(width=32, height=16)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    st = RenderSettings(max_bounces=2)
+
+    mesh = mesh_mod.make_mesh(4, 2)
+    img = np.asarray(render_sample_sharded_fast(
+        scene, cam, st, cfg, 1, mesh, interpret=True))
+    # spp=2 averages two decorrelated sample sets; compare against the mean
+    # of the two XLA aa_offset renders
+    from rvpt_tpu.render import render_pixels, _pixel_grid
+    pixel, xs, ys = _pixel_grid(cfg)
+    s0 = np.asarray(render_pixels(scene, cam, st, cfg, 1, pixel, xs, ys,
+                                  aa_offset=0))
+    s1 = np.asarray(render_pixels(scene, cam, st, cfg, 1, pixel, xs, ys,
+                                  aa_offset=1))
+    want = ((s0 + s1) / 2.0).T.reshape(3, 16, 32)
+    close = np.isclose(img, want, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
