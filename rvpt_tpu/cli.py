@@ -20,7 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="rvpt_tpu", description="TPU-native differentiable path tracer"
     )
     p.add_argument("--scene", default="cornell",
-                   help="builtin scene (cornell|sphere_plane) or path to .obj")
+                   help="builtin scene (cornell|sphere_plane|mesh[:subdiv]) "
+                        "or path to .obj")
     p.add_argument("--size", default="1024x512",
                    help="film WxH (reference default 1024x512, main.cpp:96-97)")
     p.add_argument("--frames", type=int, default=8,
@@ -70,6 +71,11 @@ def main(argv=None) -> int:
         scene, camera = builtin.cornell_box(aspect=cfg.aspect)
     elif args.scene == "sphere_plane":
         scene, camera = builtin.sphere_plane(aspect=cfg.aspect)
+    elif args.scene.startswith("mesh"):
+        # "mesh" or "mesh:N" — the icosphere demo at subdivision N (BVH
+        # attached; larger N exercises the culled/chunked kernel paths).
+        subdiv = int(args.scene.split(":")[1]) if ":" in args.scene else 2
+        scene, camera = builtin.mesh_demo(subdiv=subdiv, aspect=cfg.aspect)
     elif args.scene.endswith(".obj"):
         v, f = obj_io.load_obj(args.scene)
         scene, camera = builtin.mesh_scene(v, f, aspect=cfg.aspect)
