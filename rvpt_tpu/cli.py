@@ -12,6 +12,7 @@ camera, frames to accumulate; writes PNG output and optional debug overlays.
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 
@@ -55,6 +56,14 @@ def main(argv=None) -> int:
     import dataclasses
     import os
 
+    # Honor JAX_PLATFORMS even when a site-installed TPU plugin registered
+    # itself before this process read the environment: the env var alone
+    # loses the platform race, jax.config.update does not.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import numpy as np
 
     from . import FilmConfig, RenderSettings
@@ -71,7 +80,7 @@ def main(argv=None) -> int:
         scene, camera = builtin.cornell_box(aspect=cfg.aspect)
     elif args.scene == "sphere_plane":
         scene, camera = builtin.sphere_plane(aspect=cfg.aspect)
-    elif args.scene.startswith("mesh"):
+    elif re.fullmatch(r"mesh(:\d+)?", args.scene):
         # "mesh" or "mesh:N" — the icosphere demo at subdivision N (BVH
         # attached; larger N exercises the culled/chunked kernel paths).
         subdiv = int(args.scene.split(":")[1]) if ":" in args.scene else 2

@@ -66,3 +66,25 @@ class FilmConfig:
     @property
     def num_pixels(self) -> int:
         return self.width * self.height
+
+
+def get_asset_path(relative: str) -> str:
+    """Resolve a path under the project's assets directory.
+
+    The reference generates project_configuration.json at build time carrying
+    the source dir and resolves assets against it, falling back to "."
+    (scripts/project_configuration.json.in:1-3, src/rvpt/rvpt.cpp:39-49,
+    1045-1054).  Here: $RVPT_TPU_ASSETS overrides; otherwise the repo's
+    assets/ next to this package; otherwise the path as given.
+    """
+    import os
+
+    override = os.environ.get("RVPT_TPU_ASSETS")
+    roots = [override] if override else []
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    roots.append(os.path.join(pkg_root, "assets"))
+    for root in roots:
+        cand = os.path.join(root, relative)
+        if os.path.exists(cand):
+            return cand
+    return relative

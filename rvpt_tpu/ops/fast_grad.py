@@ -100,10 +100,9 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
       - "auto": "pallas" when every scene table fits the kernel's one-hot
         select width, else "soa".
     """
-    from .pathkernel import CULL_MAX_TRIS, BigMeshTracer
+    from .pathkernel import BigMeshTracer, is_bigmesh
 
-    bigmesh = (scene_template.bvh is not None
-               and scene_template.num_triangles > CULL_MAX_TRIS)
+    bigmesh = is_bigmesh(scene_template)
     if backward == "auto":
         backward = ("soa" if bigmesh
                     else "pallas" if scene_template.num_triangles <= 1024

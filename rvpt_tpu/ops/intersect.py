@@ -356,16 +356,22 @@ def set_backend(name: str) -> None:
     _BACKEND = name
 
 
+def on_tpu() -> bool:
+    """True when the default backend is a real TPU (incl. the 'axon'
+    tunnel plugin) — the single platform-sniffing site for kernel routing."""
+    backend = jax.default_backend()
+    return bool(
+        backend == "tpu" or backend == "axon"
+        or (jax.devices() and "tpu" in jax.devices()[0].platform.lower())
+    )
+
+
 def _use_pallas(n_tris: int) -> bool:
     if _BACKEND == "xla":
         return False
     if _BACKEND == "pallas":
         return True
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu" or backend == "axon" or (
-        jax.devices() and "tpu" in jax.devices()[0].platform.lower()
-    )
-    return bool(on_tpu) and n_tris >= _PALLAS_MIN_TRIS
+    return on_tpu() and n_tris >= _PALLAS_MIN_TRIS
 
 
 def closest_hit_scene(scene: Scene, ray: Ray, mint, maxt, tri_chunk: int = 2048):

@@ -1430,6 +1430,12 @@ BIG_CHUNK_SUP = BIG_CHUNK_CLU // CULL_G  # supergroups per chunk
 BIG_BOUND_PAD = 1024  # bound-table strides (XLA tiles 1D arrays at T(1024))
 
 
+def is_bigmesh(scene: Scene) -> bool:
+    """True when a scene routes through the chunked big-mesh path — the ONE
+    capacity rule shared by the display, sharded, and gradient paths."""
+    return scene.bvh is not None and scene.num_triangles > CULL_MAX_TRIS
+
+
 def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     """Chunked SMEM tables for meshes beyond CULL_MAX_TRIS.
 

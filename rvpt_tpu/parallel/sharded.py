@@ -95,14 +95,14 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     (tested); spp ranks reproduce the XLA path's aa_offset salt layout.
     """
     from ..models.integrators import AA_STRIDE
-    from ..ops.pathkernel import CULL_MAX_TRIS, PathTracer, camera_params
+    from ..ops.pathkernel import PathTracer, camera_params, is_bigmesh
     from ..render import _INTEGRATOR_SITE, _JITTER_SITE, _block_order
 
     n_tiles = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
     pixel, _, _ = _pixel_grid(cfg)
     inv_ord = None
-    bigmesh = scene.bvh is not None and scene.num_triangles > CULL_MAX_TRIS
+    bigmesh = is_bigmesh(scene)
     if scene.bvh is not None and scene.num_triangles > 0:
         # Mesh scenes (culled or chunked): permute pixels into compact
         # screen blocks BEFORE sharding, so each shard's kernel tiles stay
@@ -124,9 +124,8 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
         check_vma=False,
     )
     def tile_render(pixel, scene, cp, frame):
-        from ..core import rng
-        from ..models import camera as camera_mod
         from ..ops.pathkernel import BigMeshTracer
+        from ..render import jittered_camera_rays
 
         rank = jax.lax.axis_index(SPP_AXIS).astype(jnp.uint32)
         pt = BigMeshTracer(scene) if bigmesh else PathTracer(scene)
@@ -136,13 +135,10 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
             if bigmesh:
                 # The chunked kernel has no in-kernel raygen; generate shard
                 # rays in XLA with the display path's exact jitter salts.
-                ju, jv = rng.uniform2(
-                    pixel, frame, salt0 + jnp.uint32(_JITTER_SITE))
-                xs = (pixel % jnp.uint32(cfg.width)).astype(jnp.float32)
-                ys = (pixel // jnp.uint32(cfg.width)).astype(jnp.float32)
-                cx = (xs + ju) / cfg.width
-                cy = 1.0 - (ys + jv) / cfg.height
-                ray = camera_mod.generate_rays(camera, cx, cy)
+                xs = pixel % jnp.uint32(cfg.width)
+                ys = pixel // jnp.uint32(cfg.width)
+                ray = jittered_camera_rays(
+                    camera, cfg, pixel, xs, ys, frame, salt0)
                 r, g, b = pt.trace(
                     pixel, ray.origin, ray.direction, frame,
                     salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),

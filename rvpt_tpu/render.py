@@ -57,6 +57,19 @@ def _mode_masks(settings: RenderSettings, xs, ys, cfg: FilmConfig):
     return mode_of_pixel
 
 
+def jittered_camera_rays(camera, cfg: FilmConfig, pixel, xs, ys, frame,
+                         salt0):
+    """AA-jittered camera rays for a pixel batch — THE jitter convention
+    (RNG site, y flip, reciprocal film scale) shared by the XLA integrator
+    path, the big-mesh display path, and the sharded big-mesh branch, so
+    their images stay bit-identical."""
+    ju, jv = rng.uniform2(pixel, frame, salt0 + jnp.uint32(_JITTER_SITE))
+    # Jittered film coordinates, y flipped (compute_pass.comp:153-154).
+    cx = (xs.astype(jnp.float32) + ju) * (1.0 / cfg.width)
+    cy = 1.0 - (ys.astype(jnp.float32) + jv) * (1.0 / cfg.height)
+    return camera_mod.generate_rays(camera, cx, cy)
+
+
 def render_pixels(
     scene,
     camera,
@@ -77,8 +90,6 @@ def render_pixels(
     AA sample index (used to decorrelate spp-parallel ranks).
     """
     frame = jnp.asarray(frame, jnp.uint32)
-    inv_w = 1.0 / cfg.width
-    inv_h = 1.0 / cfg.height
     unique_modes = sorted(set(settings.modes()))
     n = pixel.shape[0]
 
@@ -87,11 +98,7 @@ def render_pixels(
         salt0 = (jnp.uint32(i) + jnp.asarray(aa_offset, jnp.uint32)) * jnp.uint32(
             AA_STRIDE
         )
-        ju, jv = rng.uniform2(pixel, frame, salt0 + _JITTER_SITE)
-        # Jittered film coordinates, y flipped (compute_pass.comp:153-154).
-        cx = (xs.astype(jnp.float32) + ju) * inv_w
-        cy = 1.0 - (ys.astype(jnp.float32) + jv) * inv_h
-        ray = camera_mod.generate_rays(camera, cx, cy)
+        ray = jittered_camera_rays(camera, cfg, pixel, xs, ys, frame, salt0)
 
         salt_base = salt0 + _INTEGRATOR_SITE
         if len(unique_modes) == 1:
@@ -164,9 +171,9 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
 def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                   frame):
     from .models.integrators import AA_STRIDE
-    from .ops.pathkernel import CULL_MAX_TRIS, PathTracer, camera_params
+    from .ops.pathkernel import PathTracer, camera_params, is_bigmesh
 
-    if scene.bvh is not None and scene.num_triangles > CULL_MAX_TRIS:
+    if is_bigmesh(scene):
         return _bigmesh_chw(scene, camera, settings, cfg, frame)
 
     pt = PathTracer(scene)
@@ -206,30 +213,24 @@ def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     per-bounce kernel (ops.pathkernel.BigMeshTracer).  Rays are generated
     host-of-kernel (XLA) with the same jitter salts as render_pixels, so the
     image matches the XLA integrator exactly."""
+    from .ops.intersect import on_tpu
     from .ops.pathkernel import BigMeshTracer
 
-    backend = jax.default_backend()
-    on_tpu = backend in ("tpu", "axon") or (
-        jax.devices() and "tpu" in jax.devices()[0].platform.lower()
-    )
     bt = BigMeshTracer(scene)
+    interpret = not on_tpu()
     pixel, xs, ys = _pixel_grid(cfg)
     order, inv_ord = _block_order(cfg.width, cfg.height)
     pixel, xs, ys = pixel[order], xs[order], ys[order]
     frame = jnp.asarray(frame, jnp.uint32)
-    inv_w, inv_h = 1.0 / cfg.width, 1.0 / cfg.height
     acc_r = acc_g = acc_b = 0.0
     for i in range(settings.aa):
         salt0 = jnp.uint32(i * AA_STRIDE)
-        ju, jv = rng.uniform2(pixel, frame, salt0 + jnp.uint32(_JITTER_SITE))
-        cx = (xs.astype(jnp.float32) + ju) * inv_w
-        cy = 1.0 - (ys.astype(jnp.float32) + jv) * inv_h
-        ray = camera_mod.generate_rays(camera, cx, cy)
+        ray = jittered_camera_rays(camera, cfg, pixel, xs, ys, frame, salt0)
         r, g, b = bt.trace(
             pixel, ray.origin, ray.direction, frame,
             salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
             max_bounces=settings.max_bounces, style=settings.style,
-            interpret=not on_tpu,
+            interpret=interpret,
         )
         acc_r = acc_r + r
         acc_g = acc_g + g
