@@ -1,0 +1,136 @@
+"""Multi-PROCESS (multi-host analog) tests over the DCN coordination path.
+
+The reference is strictly single-process (SURVEY.md §2); this exercises the
+capability it lacks: two OS processes, each with 4 virtual CPU devices, wire
+up through ``jax.distributed.initialize`` (the same PJRT coordination service
+a TPU pod uses over DCN), render disjoint halves of the film locally, and
+assemble the frame on process 0 via ``gather_film_to_host``.  RNG streams are
+keyed by GLOBAL pixel id, so the assembled image must equal the
+single-process render bit for bit.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from rvpt_tpu.parallel.distributed import (gather_film_to_host,
+                                           initialize_distributed)
+
+# Importing rvpt_tpu touches jax.devices(), which initializes the XLA
+# backend; jax.distributed.initialize refuses after that — reset first
+# (the real multi-host launcher initializes before any imports instead).
+import jax.extend.backend as jxb
+jxb.clear_backends()
+
+initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()       # 2 x 4 virtual CPU
+assert len(jax.local_devices()) == 4
+
+# DCN sanity: a cross-process allgather sees both ranks.
+from jax.experimental import multihost_utils
+ranks = np.asarray(multihost_utils.process_allgather(np.array([pid])))
+assert sorted(ranks.ravel().tolist()) == [0, 1], ranks
+
+# Each process renders its contiguous half of the film locally; global
+# pixel ids key the RNG, so the assembly equals a single-process render.
+import jax.numpy as jnp
+from rvpt_tpu import FilmConfig, RenderSettings
+from rvpt_tpu.render import _pixel_grid, render_pixels
+from rvpt_tpu.scene import builtin
+
+cfg = FilmConfig(width=32, height=16)
+st = RenderSettings(max_bounces=2)
+scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+pixel, xs, ys = _pixel_grid(cfg)
+n = pixel.shape[0]
+lo, hi = pid * n // 2, (pid + 1) * n // 2
+local = render_pixels(scene, cam, st, cfg, jnp.uint32(1),
+                      pixel[lo:hi], xs[lo:hi], ys[lo:hi])
+full = gather_film_to_host(local)
+if pid == 0:
+    assert full is not None and full.shape == (n, 3)
+    np.save(out, full)
+else:
+    assert full is None
+jax.distributed.shutdown()
+print("WORKER_OK", pid)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_render_and_gather(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "film.npy")
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(pid), str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+    for p, stdout in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{stdout}"
+    assert "WORKER_OK 0" in outputs[0] + outputs[1]
+
+    # single-process reference in THIS process (8 virtual devices, same RNG)
+    import jax.numpy as jnp
+
+    from rvpt_tpu import FilmConfig, RenderSettings
+    from rvpt_tpu.render import _pixel_grid, render_pixels
+    from rvpt_tpu.scene import builtin
+
+    cfg = FilmConfig(width=32, height=16)
+    st = RenderSettings(max_bounces=2)
+    scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+    pixel, xs, ys = _pixel_grid(cfg)
+    ref = np.asarray(
+        render_pixels(scene, cam, st, cfg, jnp.uint32(1), pixel, xs, ys)
+    )
+    got = np.load(out)
+    assert np.array_equal(got, ref), (
+        f"max diff {np.abs(got - ref).max()}"
+    )
