@@ -1328,6 +1328,22 @@ class PathTracer:
             return res, record
         return res
 
+    def trace_primary(self, pixel, frame, mode, *, cam_params, cam_mode,
+                      salt_base, jitter_salt, nrays=1, interpret=False):
+        """Single-intersection debug integrator (mode in PRIMARY_MODES) with
+        in-kernel ray generation — see make_primary_kernel."""
+        n = pixel.shape[0]
+        pix = _to_tiles(pixel)
+        r, g, b = _primary_call(
+            jnp.asarray(frame, jnp.uint32),
+            jnp.asarray(salt_base, jnp.uint32),
+            jnp.asarray(jitter_salt, jnp.uint32),
+            cam_params, self.tables, self.cull_tables, pix,
+            self.meta_key, self.mint, int(mode), cam_mode, int(nrays),
+            interpret,
+        )
+        return _from_tiles(r, n), _from_tiles(g, n), _from_tiles(b, n)
+
     def hits_from_record(self, record, n, max_bounces):
         """Per-bounce (fams, idxs) i32[B, N] from a collect_states record —
         the flat hit-record layout of the SoA replay path."""
@@ -1683,3 +1699,207 @@ class BigMeshTracer:
         if collect_hits:
             return res, (jnp.stack(fams), jnp.stack(idxs))
         return res
+
+
+# ---------------------------------------------------------------------------
+# Primary-hit integrator kernel: the single-intersection debug modes
+# (binary/color/depth/normal/Utah/AO/Appel) at full kernel rate
+# ---------------------------------------------------------------------------
+
+# Mode ids match models.integrators.INTEGRATOR_NAMES.
+PRIMARY_MODES = frozenset((0, 1, 2, 3, 4, 5, 6))
+
+# Directional light of the debug integrators (integrators.glsl; the XLA
+# constants in models/integrators.py) — normalize(0.5, 1.0, 0.3).
+import numpy as _np
+
+_LDIR = tuple(
+    float(v) for v in
+    (_np.array([0.5, 1.0, 0.3], _np.float32)
+     / _np.float32(_np.linalg.norm(_np.array([0.5, 1.0, 0.3], _np.float32))))
+)
+_AMBIENT = 0.1
+_LIGHT_I = 1.0
+
+
+def make_primary_kernel(meta, mint, *, mode, cam_mode, nrays):
+    """One-search debug integrator kernel (XLA parity: the matching
+    integrator_* in models/integrators.py).  In-kernel ray generation; AO
+    runs ``nrays`` cosine probe occlusion searches, Appel one shadow
+    search."""
+
+    def kernel(ctl_ref, *refs):
+        cam_ref = refs[0]
+        tri = dict(zip(TRI_FIELDS, refs[1:18]))
+        sph = dict(zip(SPH_FIELDS, refs[18:23]))
+        pln = dict(zip(PLN_FIELDS, refs[23:28]))
+        mat = dict(zip(MAT_FIELDS, refs[28:36]))
+        for d in (sph, pln, mat):
+            for k in d:
+                d[k] = d[k][...]
+        pos = 36
+        cull = cull_scratch = None
+        if meta.get("culled"):
+            cull = refs[pos:pos + 29]
+            pos += 29
+            cull_scratch = refs[-1:]
+            refs = refs[:-1]
+        pix_ref = refs[pos]
+        outs = refs[pos + 1:pos + 4]
+
+        frame = ctl_ref[0]
+        salt_base = ctl_ref[1]
+        jitter_salt = ctl_ref[2]
+        pix = pix_ref[0]
+
+        ox, oy, oz, dx, dy, dz = _gen_rays_inkernel(
+            cam_ref, pix, frame, jitter_salt, cam_mode
+        )
+        live = jnp.ones((S, L), bool)
+
+        def search(o3, d3, mask):
+            winner, _ = _search(tri, sph, pln, meta, *o3, *d3, mint,
+                                cull=cull, live=mask,
+                                cull_scratch=cull_scratch)
+            return winner
+
+        t, wnx, wny, wnz, wmat, wfam, widx = search(
+            (ox, oy, oz), (dx, dy, dz), live
+        )
+        hit = wfam >= 0
+        hit_f = hit.astype(jnp.float32)
+        inv_nl = _rsqrt_safe(wnx * wnx + wny * wny + wnz * wnz)
+        # Normalized, zeroed on miss — isect_from_hit's convention.
+        nX = jnp.where(hit, wnx * inv_nl, 0.0)
+        nY = jnp.where(hit, wny * inv_nl, 0.0)
+        nZ = jnp.where(hit, wnz * inv_nl, 0.0)
+
+        mrows = jax.lax.broadcasted_iota(jnp.int32, (meta["mat_rows"], S, L), 0)
+        is_m = mrows == wmat.astype(jnp.int32)[None]
+
+        def mfetch(name):
+            return jnp.sum(jnp.where(is_m, mat[name], 0.0), axis=0)
+
+        if mode == 0:       # binary (integrators.glsl:24-38)
+            r = g = b = hit_f
+        elif mode == 1:     # color (42-59)
+            r = jnp.where(hit, mfetch("ar"), 0.0)
+            g = jnp.where(hit, mfetch("ag"), 0.0)
+            b = jnp.where(hit, mfetch("ab"), 0.0)
+        elif mode == 2:     # depth (63-82): 1/(|d| t); miss -> 0
+            inv_d = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+            r = g = b = jnp.where(hit, inv_d / jnp.maximum(t, 1e-30), 0.0)
+        elif mode == 3:     # normal (86-102)
+            r = 0.5 * nX + 0.5 * hit_f
+            g = 0.5 * nY + 0.5 * hit_f
+            b = 0.5 * nZ + 0.5 * hit_f
+        elif mode == 4:     # Utah (106-148): headlight-free raster shading
+            facing = (dx * nX + dy * nY + dz * nZ) < 0.0
+            fX = jnp.where(facing, nX, -nX)
+            fY = jnp.where(facing, nY, -nY)
+            fZ = jnp.where(facing, nZ, -nZ)
+            cos_l = jnp.maximum(
+                0.0, _LDIR[0] * fX + _LDIR[1] * fY + _LDIR[2] * fZ)
+            # sky uses RAW d.y (glsl mix extrapolates outside [0,1])
+            sky_r = _WHITE[0] + (_BLUE[0] - _WHITE[0]) * dy
+            sky_g = _WHITE[1] + (_BLUE[1] - _WHITE[1]) * dy
+            sky_b = _WHITE[2] + (_BLUE[2] - _WHITE[2]) * dy
+            r = jnp.where(hit, _AMBIENT + mfetch("er")
+                          + mfetch("ar") * (_LIGHT_I * cos_l), sky_r)
+            g = jnp.where(hit, _AMBIENT + mfetch("eg")
+                          + mfetch("ag") * (_LIGHT_I * cos_l), sky_g)
+            b = jnp.where(hit, _AMBIENT + mfetch("eb")
+                          + mfetch("ab") * (_LIGHT_I * cos_l), sky_b)
+        elif mode == 5:     # AO (152-200): nrays cosine probes
+            inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+            iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
+            facing = (iX * nX + iY * nY + iZ * nZ) < 0.0
+            fX = jnp.where(facing, nX, -nX)
+            fY = jnp.where(facing, nY, -nY)
+            fZ = jnp.where(facing, nZ, -nZ)
+            px = ox + t * dx + _EPSILON * fX
+            py = oy + t * dy + _EPSILON * fY
+            pz = oz + t * dz + _EPSILON * fZ
+            acc = jnp.zeros((S, L), jnp.float32)
+            for i in range(nrays):
+                ru, rv, _ = _rng(pix, frame, salt_base + jnp.uint32(i * 4))
+                phi = _TWO_PI * ru
+                cos_t = 1.0 - 2.0 * rv
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                sX = fX + sin_t * jnp.cos(phi)
+                sY = fY + sin_t * jnp.sin(phi)
+                sZ = fZ + cos_t
+                pw = search((px, py, pz), (sX, sY, sZ), hit)
+                acc = acc + ((pw[5] >= 0) & hit).astype(jnp.float32)
+            ao = 1.0 - acc * (1.0 / nrays)
+            r = g = b = jnp.where(hit, ao, 0.0)
+        else:               # Appel (204-250): hard shadow; miss -> white
+            inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+            iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
+            flip = (iX * nX + iY * nY + iZ * nZ) > 0.0
+            fX = jnp.where(flip, -nX, nX)
+            fY = jnp.where(flip, -nY, nY)
+            fZ = jnp.where(flip, -nZ, nZ)
+            px = ox + t * dx + _EPSILON * fX
+            py = oy + t * dy + _EPSILON * fY
+            pz = oz + t * dz + _EPSILON * fZ
+            ones = jnp.ones((S, L), jnp.float32)
+            sw = search((px, py, pz),
+                        (_LDIR[0] * ones, _LDIR[1] * ones, _LDIR[2] * ones),
+                        hit)
+            shadow = (sw[5] >= 0) & hit
+            cos_l = jnp.maximum(
+                0.0, _LDIR[0] * fX + _LDIR[1] * fY + _LDIR[2] * fZ)
+            lit = jnp.where(shadow, 0.0, _LIGHT_I * cos_l)
+            r = g = b = jnp.where(hit, lit, 1.0)
+
+        outs[0][0] = r
+        outs[1][0] = g
+        outs[2][0] = b
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "meta_key", "mint", "mode", "cam_mode", "nrays", "interpret"))
+def _primary_call(frame, salt_base, jitter_salt, cam_params, tables,
+                  cull_tables, pix, meta_key, mint, mode, cam_mode, nrays,
+                  interpret):
+    meta = dict(meta_key)
+    grid = pix.shape[0]
+    kern = make_primary_kernel(meta, mint, mode=mode, cam_mode=cam_mode,
+                               nrays=nrays)
+
+    def tab_spec(v):
+        return pl.BlockSpec(v.shape, lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, S, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [None, cam_params]
+    in_specs += [tab_spec(v) for v in tables]
+    args += list(tables)
+    scratch = []
+    if meta.get("culled"):
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cull_tables)
+        args += list(cull_tables)
+        scratch.append(pltpu.SMEM((meta["n_clu"],), jnp.int32))
+    in_specs.append(row)
+    args.append(pix)
+    ctl = jnp.stack([
+        jnp.asarray(frame, jnp.uint32),
+        jnp.asarray(salt_base, jnp.uint32),
+        jnp.asarray(jitter_salt, jnp.uint32),
+    ])
+    args[0] = ctl
+    return pl.pallas_call(
+        kern, grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tuple([row] * 3),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((grid, S, L), jnp.float32) for _ in range(3)
+        ),
+        interpret=interpret, scratch_shapes=scratch,
+    )(*args)

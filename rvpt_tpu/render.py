@@ -123,11 +123,19 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     (ops.pathkernel.CULL_MAX_TRIS); unattached scenes use the VMEM row path,
     whose per-triangle tile cost caps it at small counts."""
     from .ops import intersect as intersect_mod
-    from .ops.pathkernel import CULL_MAX_TRIS
+    from .ops.pathkernel import PRIMARY_MODES, is_bigmesh
 
     if not intersect_mod._use_pallas(max(scene.num_triangles, 1)):
         return False
-    if set(settings.modes()) != {9}:
+    modes = set(settings.modes())
+    if len(modes) != 1:
+        return False
+    (mode,) = modes
+    if mode in PRIMARY_MODES:
+        # primary-hit kernel: no chunked-table support
+        if is_bigmesh(scene):
+            return False
+    elif mode != 9:
         return False
     if scene.bvh is not None:
         return True   # <= CULL_MAX_TRIS: SMEM culled; beyond: chunked path
@@ -171,11 +179,13 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
 def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                   frame):
     from .models.integrators import AA_STRIDE
-    from .ops.pathkernel import PathTracer, camera_params, is_bigmesh
+    from .ops.pathkernel import (PRIMARY_MODES, PathTracer, camera_params,
+                                 is_bigmesh)
 
     if is_bigmesh(scene):
         return _bigmesh_chw(scene, camera, settings, cfg, frame)
 
+    (mode,) = set(settings.modes())
     pt = PathTracer(scene)
     cam_params = camera_params(camera, cfg)
     pixel, _, _ = _pixel_grid(cfg)
@@ -190,13 +200,22 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         salt0 = i * AA_STRIDE
         # Jitter + camera ray generation run inside the path kernel — the
         # film output is the only ray-sized HBM traffic of the frame.
-        r, g, b = pt.trace(
-            pixel, None, None, frame,
-            salt_base=salt0 + _INTEGRATOR_SITE,
-            max_bounces=settings.max_bounces, style=settings.style,
-            gen_rays=True, cam_params=cam_params, cam_mode=camera.mode,
-            jitter_salt=salt0 + _JITTER_SITE,
-        )
+        if mode in PRIMARY_MODES:
+            r, g, b = pt.trace_primary(
+                pixel, frame, mode, cam_params=cam_params,
+                cam_mode=camera.mode,
+                salt_base=salt0 + _INTEGRATOR_SITE,
+                jitter_salt=salt0 + _JITTER_SITE,
+                nrays=max(int(settings.max_bounces), 1),
+            )
+        else:
+            r, g, b = pt.trace(
+                pixel, None, None, frame,
+                salt_base=salt0 + _INTEGRATOR_SITE,
+                max_bounces=settings.max_bounces, style=settings.style,
+                gen_rays=True, cam_params=cam_params, cam_mode=camera.mode,
+                jitter_salt=salt0 + _JITTER_SITE,
+            )
         acc_r = acc_r + r
         acc_g = acc_g + g
         acc_b = acc_b + b

@@ -255,3 +255,63 @@ def test_megakernel_culled_pack_bounds():
         c = t // CULL_K
         assert (v[t].min(0) >= c0[c] - 1e-3).all()
         assert (v[t].max(0) <= c1[c] + 1e-3).all()
+
+
+@pytest.mark.parametrize("mode_name", [
+    "binary", "color", "depth", "normal", "utah", "ao", "appel",
+])
+def test_primary_kernel_matches_xla(mode_name):
+    """The one-search debug-integrator kernel must reproduce the matching
+    XLA integrator (same rays, same RNG probes for AO)."""
+    from rvpt_tpu.models.integrators import (INTEGRATOR_NAMES,
+                                             eval_integrator)
+    from rvpt_tpu.ops.pathkernel import camera_params
+    from rvpt_tpu.render import _INTEGRATOR_SITE, _JITTER_SITE, _pixel_grid
+
+    mode = INTEGRATOR_NAMES[mode_name]
+    cfg = FilmConfig(width=24, height=16)
+    scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+    st = RenderSettings(max_bounces=3)
+    frame = jnp.uint32(2)
+
+    pixel, ray = _rays(cfg, cam, n_seed=2)
+    ref = np.asarray(eval_integrator(
+        mode, scene, ray, pixel, frame, st,
+        jnp.uint32(_INTEGRATOR_SITE)))
+
+    pt = PathTracer(scene)
+    r, g, b = pt.trace_primary(
+        pixel, frame, mode, cam_params=camera_params(cam, cfg),
+        cam_mode=cam.mode, salt_base=_INTEGRATOR_SITE,
+        jitter_salt=_JITTER_SITE, nrays=3, interpret=True,
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, (
+        f"{mode_name}: only {close.mean():.4f} of pixels match"
+    )
+
+
+def test_primary_kernel_culled_mesh():
+    """Primary modes also ride the SMEM culled path for BVH scenes."""
+    from rvpt_tpu.models.integrators import eval_integrator
+    from rvpt_tpu.ops.pathkernel import camera_params
+    from rvpt_tpu.render import _INTEGRATOR_SITE, _JITTER_SITE
+
+    cfg = FilmConfig(width=24, height=16)
+    scene, cam = builtin.mesh_demo(subdiv=1, aspect=cfg.aspect)
+    st = RenderSettings(max_bounces=2)
+    frame = jnp.uint32(1)
+    pixel, ray = _rays(cfg, cam, n_seed=1)
+    ref = np.asarray(eval_integrator(
+        3, scene, ray, pixel, frame, st, jnp.uint32(_INTEGRATOR_SITE)))
+    pt = PathTracer(scene)
+    assert pt.meta.get("culled")
+    r, g, b = pt.trace_primary(
+        pixel, frame, 3, cam_params=camera_params(cam, cfg),
+        cam_mode=cam.mode, salt_base=_INTEGRATOR_SITE,
+        jitter_salt=_JITTER_SITE, interpret=True,
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
