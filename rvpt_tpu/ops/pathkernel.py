@@ -589,20 +589,8 @@ def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
     return carry, cull_stats
 
 
-def _shade(mat, meta, pix, frame, salt, state, winner):
-    """One bounce's shading at the winner hit.  state/winner comps [S, L]."""
-    (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
-     rr, rg, rb, active) = state
-    t_best, wnx, wny, wnz, wmat, wfam, widx = winner
-    hit = wfam >= 0
-
-    sky_t = dy * 0.5 + 0.5
-    miss_now = active & ~hit
-    rr = jnp.where(miss_now, rr + cr + tr * (_WHITE[0] + (_BLUE[0] - _WHITE[0]) * sky_t), rr)
-    rg = jnp.where(miss_now, rg + cg + tg * (_WHITE[1] + (_BLUE[1] - _WHITE[1]) * sky_t), rg)
-    rb = jnp.where(miss_now, rb + cb + tb * (_WHITE[2] + (_BLUE[2] - _WHITE[2]) * sky_t), rb)
-    active = active & hit
-
+def _mat_fetch(mat, meta, wmat):
+    """Winner-material table fetch (one-hot select-sum)."""
     mrows = jax.lax.broadcasted_iota(
         jnp.int32, (meta["mat_rows"], S, L), 0
     )
@@ -611,15 +599,15 @@ def _shade(mat, meta, pix, frame, salt, state, winner):
     def mfetch(name):
         return jnp.sum(jnp.where(is_m, mat[name], 0.0), axis=0)
 
-    alb_r, alb_g, alb_b = mfetch("ar"), mfetch("ag"), mfetch("ab")
-    em_r, em_g, em_b = mfetch("er"), mfetch("eg"), mfetch("eb")
-    ior = mfetch("ior")
-    kind = mfetch("kind")
+    return {k: mfetch(k) for k in MAT_FIELDS}
 
-    cr = jnp.where(active, cr + tr * em_r, cr)
-    cg = jnp.where(active, cg + tg * em_g, cg)
-    cb = jnp.where(active, cb + tb * em_b, cb)
 
+def _shade_geom(pix, frame, salt, ox, oy, oz, dx, dy, dz, winner, ior, kind):
+    """Shared hit geometry + scatter directions for every bounce integrator:
+    hit point, flipped unit normal, Lambert/mirror/dielectric candidate
+    directions with the stochastic Fresnel branch — the exact math of
+    brdf.shade_and_scatter (material.glsl / integrators.glsl:591-668)."""
+    t_best, wnx, wny, wnz = winner[0], winner[1], winner[2], winner[3]
     px = ox + t_best * dx
     py = oy + t_best * dy
     pz = oz + t_best * dz
@@ -668,18 +656,152 @@ def _shade(mat, meta, pix, frame, salt, state, winner):
     out_dy = jnp.where(is_lam, lamY, jnp.where(is_mir, refY, dieY))
     out_dz = jnp.where(is_lam, lamZ, jnp.where(is_mir, refZ, dieZ))
     off = jnp.where(is_lam | is_mir, _EPSILON, die_off)
+    return dict(
+        px=px, py=py, pz=pz, nX=nX, nY=nY, nZ=nZ, iX=iX, iY=iY, iZ=iZ,
+        out_dx=out_dx, out_dy=out_dy, out_dz=out_dz, off=off,
+        is_lam=is_lam, is_mir=is_mir,
+    )
 
-    ox = jnp.where(active, px + off * nX, ox)
-    oy = jnp.where(active, py + off * nY, oy)
-    oz = jnp.where(active, pz + off * nZ, oz)
-    dx = jnp.where(active, out_dx, dx)
-    dy = jnp.where(active, out_dy, dy)
-    dz = jnp.where(active, out_dz, dz)
+
+def _sky_add(rr, rg, rb, cr, cg, cb, tr, tg, tb, sky_t, mask):
+    rr = jnp.where(mask, rr + cr + tr * (_WHITE[0] + (_BLUE[0] - _WHITE[0]) * sky_t), rr)
+    rg = jnp.where(mask, rg + cg + tg * (_WHITE[1] + (_BLUE[1] - _WHITE[1]) * sky_t), rg)
+    rb = jnp.where(mask, rb + cb + tb * (_WHITE[2] + (_BLUE[2] - _WHITE[2]) * sky_t), rb)
+    return rr, rg, rb
+
+
+def _shade(mat, meta, pix, frame, salt, state, winner):
+    """One Kajiya bounce's shading at the winner hit.  state/winner [S, L]."""
+    (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+     rr, rg, rb, active) = state
+    t_best, wnx, wny, wnz, wmat, wfam, widx = winner
+    hit = wfam >= 0
+
+    # Kajiya shifts d.y into [0,1] (integrators.glsl:579)
+    miss_now = active & ~hit
+    rr, rg, rb = _sky_add(rr, rg, rb, cr, cg, cb, tr, tg, tb,
+                          dy * 0.5 + 0.5, miss_now)
+    active = active & hit
+
+    m = _mat_fetch(mat, meta, wmat)
+    alb_r, alb_g, alb_b = m["ar"], m["ag"], m["ab"]
+
+    cr = jnp.where(active, cr + tr * m["er"], cr)
+    cg = jnp.where(active, cg + tg * m["eg"], cg)
+    cb = jnp.where(active, cb + tb * m["eb"], cb)
+
+    g = _shade_geom(pix, frame, salt, ox, oy, oz, dx, dy, dz, winner,
+                    m["ior"], m["kind"])
+
+    ox = jnp.where(active, g["px"] + g["off"] * g["nX"], ox)
+    oy = jnp.where(active, g["py"] + g["off"] * g["nY"], oy)
+    oz = jnp.where(active, g["pz"] + g["off"] * g["nZ"], oz)
+    dx = jnp.where(active, g["out_dx"], dx)
+    dy = jnp.where(active, g["out_dy"], dy)
+    dz = jnp.where(active, g["out_dz"], dz)
     tr = jnp.where(active, tr * alb_r, tr)
     tg = jnp.where(active, tg * alb_g, tg)
     tb = jnp.where(active, tb * alb_b, tb)
     return (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
             rr, rg, rb, active)
+
+
+def _shade_whitted(mat, meta, pix, frame, salt, state, winner, search):
+    """One Whitted bounce (models/integrators.py integrator_whitted,
+    integrators.glsl:254-403): direct Lambert lighting with a hard shadow
+    ray (the in-kernel ``search`` closure), Lambert lanes terminate,
+    specular lanes scatter on.  Sky uses RAW d.y (glsl mix extrapolates)."""
+    (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+     rr, rg, rb, active) = state
+    wmat, wfam = winner[4], winner[5]
+    hit = wfam >= 0
+
+    miss_now = active & ~hit
+    rr, rg, rb = _sky_add(rr, rg, rb, cr, cg, cb, tr, tg, tb, dy, miss_now)
+    active = active & hit
+
+    m = _mat_fetch(mat, meta, wmat)
+    cr = jnp.where(active, cr + tr * m["er"], cr)
+    cg = jnp.where(active, cg + tg * m["eg"], cg)
+    cb = jnp.where(active, cb + tb * m["eb"], cb)
+
+    g = _shade_geom(pix, frame, salt, ox, oy, oz, dx, dy, dz, winner,
+                    m["ior"], m["kind"])
+    nX, nY, nZ = g["nX"], g["nY"], g["nZ"]
+
+    # Lambert lanes: shadow ray toward the directional light, terminate.
+    is_lam = active & g["is_lam"]
+    sox = g["px"] + _EPSILON * nX
+    soy = g["py"] + _EPSILON * nY
+    soz = g["pz"] + _EPSILON * nZ
+    ones = jnp.ones((S, L), jnp.float32)
+    sw = search((sox, soy, soz),
+                (_LDIR[0] * ones, _LDIR[1] * ones, _LDIR[2] * ones), is_lam)
+    in_shadow = (sw[5] >= 0) & is_lam
+    cos_l = jnp.maximum(0.0, _LDIR[0] * nX + _LDIR[1] * nY + _LDIR[2] * nZ)
+    lit = _LIGHT_I * cos_l
+    lam_r = jnp.where(in_shadow, cr, cr + tr * m["ar"] * lit)
+    lam_g = jnp.where(in_shadow, cg, cg + tg * m["ag"] * lit)
+    lam_b = jnp.where(in_shadow, cb, cb + tb * m["ab"] * lit)
+    rr = jnp.where(is_lam, rr + lam_r, rr)
+    rg = jnp.where(is_lam, rg + lam_g, rg)
+    rb = jnp.where(is_lam, rb + lam_b, rb)
+    active = active & ~is_lam
+
+    ox = jnp.where(active, g["px"] + g["off"] * nX, ox)
+    oy = jnp.where(active, g["py"] + g["off"] * nY, oy)
+    oz = jnp.where(active, g["pz"] + g["off"] * nZ, oz)
+    dx = jnp.where(active, g["out_dx"], dx)
+    dy = jnp.where(active, g["out_dy"], dy)
+    dz = jnp.where(active, g["out_dz"], dz)
+    tr = jnp.where(active, tr * m["ar"], tr)
+    tg = jnp.where(active, tg * m["ag"], tg)
+    tb = jnp.where(active, tb * m["ab"], tb)
+    return (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+            rr, rg, rb, active)
+
+
+def _shade_cook(mat, meta, pix, frame, salt, state, winner, final):
+    """One Cook bounce (integrator_cook, integrators.glsl:407-543): lanes
+    whose previous bounce was a Lambert scatter terminate on this hit's
+    emission; everything else scatters like Kajiya.  Returns (state,
+    final')."""
+    (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+     rr, rg, rb, active) = state
+    wmat, wfam = winner[4], winner[5]
+    hit = wfam >= 0
+
+    miss_now = active & ~hit
+    rr, rg, rb = _sky_add(rr, rg, rb, cr, cg, cb, tr, tg, tb, dy, miss_now)
+    active = active & hit
+
+    m = _mat_fetch(mat, meta, wmat)
+
+    fin_now = active & final
+    rr = jnp.where(fin_now, rr + cr + tr * m["er"], rr)
+    rg = jnp.where(fin_now, rg + cg + tg * m["eg"], rg)
+    rb = jnp.where(fin_now, rb + cb + tb * m["eb"], rb)
+    active = active & ~final
+
+    cr = jnp.where(active, cr + tr * m["er"], cr)
+    cg = jnp.where(active, cg + tg * m["eg"], cg)
+    cb = jnp.where(active, cb + tb * m["eb"], cb)
+
+    g = _shade_geom(pix, frame, salt, ox, oy, oz, dx, dy, dz, winner,
+                    m["ior"], m["kind"])
+    final = active & g["is_lam"]
+
+    ox = jnp.where(active, g["px"] + g["off"] * g["nX"], ox)
+    oy = jnp.where(active, g["py"] + g["off"] * g["nY"], oy)
+    oz = jnp.where(active, g["pz"] + g["off"] * g["nZ"], oz)
+    dx = jnp.where(active, g["out_dx"], dx)
+    dy = jnp.where(active, g["out_dy"], dy)
+    dz = jnp.where(active, g["out_dz"], dz)
+    tr = jnp.where(active, tr * m["ar"], tr)
+    tg = jnp.where(active, tg * m["ag"], tg)
+    tb = jnp.where(active, tb * m["ab"], tb)
+    return (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+            rr, rg, rb, active), final
 
 
 def _gen_rays_inkernel(cam_ref, pix, frame, jitter_salt, mode):
@@ -739,7 +861,8 @@ def _gen_rays_inkernel(cam_ref, pix, frame, jitter_salt, mode):
 
 
 def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
-                     carry_in, collect, style, is_last, stats=False):
+                     carry_in, collect, style, is_last, stats=False,
+                     integ="kajiya"):
     """Whole-path kernel for one bounce group (nb <= MAX_GROUP bounces).
 
     RNG counters (frame, salt_base, jitter_salt) arrive as traced SMEM
@@ -747,7 +870,12 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
     bounce-group offset.  With ``stats`` (culled path diagnostics) three
     extra outputs carry per-tile cluster counters summed over the group's
     bounces: listed, processed (pre-break), still-passed (triangle loops
-    actually run)."""
+    actually run).
+
+    ``integ`` selects the bounce integrator: "kajiya" (default), "whitted"
+    (direct-light + shadow ray, Lambert terminates), or "cook" (Lambert
+    scatters exactly once more; the terminate flag rides the active row as a
+    0/1/2 trit)."""
 
     def kernel(ctl_ref, *refs):
         pos = 0
@@ -795,12 +923,18 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             cr, cg, cb = cr_r[0], cg_r[0], cb_r[0]
             rr, rg, rb = rr_r[0], rg_r[0], rb_r[0]
             active = act_r[0] > 0.0
+            final = act_r[0] > 1.5
         else:
             ones = jnp.ones((S, L), jnp.float32)
             zeros = jnp.zeros((S, L), jnp.float32)
             tr = tg = tb = ones
-            cr = cg = cb = rr = rg = rb = zeros
+            # Whitted starts its path color at the ambient term
+            # (integrators.glsl:272; models/integrators.py init).
+            amb = jnp.full((S, L), _AMBIENT, jnp.float32)
+            cr = cg = cb = amb if integ == "whitted" else zeros
+            rr = rg = rb = zeros
             active = jnp.ones((S, L), bool)
+            final = jnp.zeros((S, L), bool)
 
         outs = refs[pos:]
         carry_out = outs[:16]
@@ -827,19 +961,50 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
                 hitmask = state[15] & (winner[5] >= 0)
                 state_outs[13][0, sl, :] = jnp.where(hitmask, winner[5], -1)
                 state_outs[14][0, sl, :] = jnp.where(hitmask, winner[6], -1)
-            state = _shade(mat, meta, pix, frame,
-                           salt_base + jnp.uint32(b * 4), state, winner)
+            salt = salt_base + jnp.uint32(b * 4)
+            if integ == "whitted":
+                def shadow_search(o3, d3, mask):
+                    w, _ = _search(tri, sph, pln, meta, *o3, *d3, mint,
+                                   cull=cull, live=mask,
+                                   cull_scratch=cull_scratch)
+                    return w
+                state = _shade_whitted(mat, meta, pix, frame, salt, state,
+                                       winner, shadow_search)
+            elif integ == "cook":
+                state, final = _shade_cook(mat, meta, pix, frame, salt,
+                                           state, winner, final)
+            else:
+                state = _shade(mat, meta, pix, frame, salt, state, winner)
 
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
          rr, rg, rb, active) = state
+        if is_last and integ == "cook":
+            # A Lambert scatter on the last bounce still resolves: one more
+            # search, terminate on emission or sky (integrators.glsl:483-487,
+            # mirrored from models/integrators.py integrator_cook tail).
+            fin = active & final
+            tw, _ = _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz,
+                            mint, cull=cull, live=fin,
+                            cull_scratch=cull_scratch)
+            m2 = _mat_fetch(mat, meta, tw[4])
+            hit2 = tw[5] >= 0
+            sky_r = _WHITE[0] + (_BLUE[0] - _WHITE[0]) * dy
+            sky_g = _WHITE[1] + (_BLUE[1] - _WHITE[1]) * dy
+            sky_b = _WHITE[2] + (_BLUE[2] - _WHITE[2]) * dy
+            rr = jnp.where(fin, rr + cr + tr * jnp.where(hit2, m2["er"], sky_r), rr)
+            rg = jnp.where(fin, rg + cg + tg * jnp.where(hit2, m2["eg"], sky_g), rg)
+            rb = jnp.where(fin, rb + cb + tb * jnp.where(hit2, m2["eb"], sky_b), rb)
+            active = active & ~final
+            final = jnp.zeros((S, L), bool)
         if is_last and style == "standard":
             rr = jnp.where(active, rr + cr, rr)
             rg = jnp.where(active, rg + cg, rg)
             rb = jnp.where(active, rb + cb, rb)
+        act_enc = jnp.where(active, jnp.where(final, 2.0, 1.0), 0.0)
         for ref, val in zip(
             carry_out,
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb, rr, rg, rb,
-             active.astype(jnp.float32)),
+             act_enc),
         ):
             ref[0] = val
         if stats:
@@ -851,16 +1016,18 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
 
 @functools.partial(jax.jit, static_argnames=(
     "meta_key", "mint", "nb", "gen_rays", "cam_mode",
-    "carry_in", "collect", "style", "is_last", "interpret", "stats"))
+    "carry_in", "collect", "style", "is_last", "interpret", "stats",
+    "integ"))
 def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
                pix, rays, carry, meta_key, mint, nb, gen_rays, cam_mode,
-               carry_in, collect, style, is_last, interpret, stats=False):
+               carry_in, collect, style, is_last, interpret, stats=False,
+               integ="kajiya"):
     meta = dict(meta_key)
     grid = pix.shape[0]
     kern = make_path_kernel(
         meta, mint, nb, gen_rays=gen_rays, cam_mode=cam_mode,
         carry_in=carry_in, collect=collect, style=style, is_last=is_last,
-        stats=stats,
+        stats=stats, integ=integ,
     )
 
     def tab_spec(v):
@@ -1269,7 +1436,9 @@ class PathTracer:
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
               style="reference", interpret=False, collect_states=False,
               gen_rays=False, cam_params=None, cam_mode=PINHOLE,
-              jitter_salt=0, stats=False):
+              jitter_salt=0, stats=False, integ="kajiya"):
+        if integ != "kajiya":
+            assert not collect_states, "hit records are a Kajiya-only path"
         """Trace full paths.  Returns (r, g, b) flat [N] radiance — plus,
         with ``collect_states``, the residual record for bwd_path.
 
@@ -1305,7 +1474,7 @@ class PathTracer:
                 self.meta_key, self.mint, g,
                 gen_rays and gi == 0, cam_mode,
                 gi > 0, collect_states, style, gi == len(groups) - 1,
-                interpret, stats,
+                interpret, stats, integ,
             )
             if stats:
                 stat_rows.append(tuple(o[:, 0, 0] for o in outs[-3:]))

@@ -131,8 +131,8 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     if len(modes) != 1:
         return False
     (mode,) = modes
-    if mode in PRIMARY_MODES:
-        # primary-hit kernel: no chunked-table support
+    if mode in PRIMARY_MODES or mode in (7, 8):
+        # primary-hit / Whitted / Cook kernels: no chunked-table support
         if is_bigmesh(scene):
             return False
     elif mode != 9:
@@ -209,12 +209,13 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                 nrays=max(int(settings.max_bounces), 1),
             )
         else:
+            integ = {7: "whitted", 8: "cook"}.get(mode, "kajiya")
             r, g, b = pt.trace(
                 pixel, None, None, frame,
                 salt_base=salt0 + _INTEGRATOR_SITE,
                 max_bounces=settings.max_bounces, style=settings.style,
                 gen_rays=True, cam_params=cam_params, cam_mode=camera.mode,
-                jitter_salt=salt0 + _JITTER_SITE,
+                jitter_salt=salt0 + _JITTER_SITE, integ=integ,
             )
         acc_r = acc_r + r
         acc_g = acc_g + g

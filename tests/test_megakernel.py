@@ -315,3 +315,55 @@ def test_primary_kernel_culled_mesh():
     got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
     close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
     assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
+
+
+@pytest.mark.parametrize("integ_name,mode", [("whitted", 7), ("cook", 8)])
+@pytest.mark.parametrize("scene_name", ["cornell", "sphere_plane"])
+def test_bounce_integ_kernel_matches_xla(scene_name, integ_name, mode):
+    """Whitted/Cook as kernel-resident bounce integrators must reproduce
+    their XLA counterparts (same RNG streams, same termination semantics,
+    incl. Cook's final-bounce Lambert resolution)."""
+    from rvpt_tpu.models.integrators import eval_integrator
+
+    cfg = FilmConfig(width=24, height=16)
+    maker = {"cornell": builtin.cornell_box, "sphere_plane": builtin.sphere_plane}
+    scene, cam = maker[scene_name](aspect=cfg.aspect)
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(4)
+    st = RenderSettings(max_bounces=3)
+
+    ref = np.asarray(eval_integrator(
+        mode, scene, ray, pixel, frame, st, jnp.uint32(16)))
+
+    mk = PathTracer(scene)
+    r, g, b = mk.trace(
+        pixel, ray.origin, ray.direction, frame, salt_base=16,
+        max_bounces=3, interpret=True, integ=integ_name,
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, (
+        f"{integ_name}: only {close.mean():.4f} of pixels match"
+    )
+
+
+def test_bounce_integ_kernel_multi_group():
+    """Cook's terminate flag must survive the bounce-group boundary (the
+    0/1/2 trit on the active carry row): 10 bounces = two kernel groups."""
+    from rvpt_tpu.models.integrators import eval_integrator
+
+    cfg = FilmConfig(width=16, height=8)
+    scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(1)
+    st = RenderSettings(max_bounces=10)
+    ref = np.asarray(eval_integrator(
+        8, scene, ray, pixel, frame, st, jnp.uint32(16)))
+    mk = PathTracer(scene)
+    r, g, b = mk.trace(
+        pixel, ray.origin, ray.direction, frame, salt_base=16,
+        max_bounces=10, interpret=True, integ="cook",
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
