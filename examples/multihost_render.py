@@ -65,11 +65,20 @@ def main():
     rank, world = jax.process_index(), jax.process_count()
     pixel, xs, ys = _pixel_grid(cfg)
     n = pixel.shape[0]
-    lo, hi = rank * n // world, (rank + 1) * n // world
+    # Equal shard sizes: process_allgather(tiled=True) needs identical
+    # local shapes, so pad the grid to a multiple of the process count
+    # (padding replicates pixel 0; dropped after the gather).
+    per = -(-n // world)
+    pad = per * world - n
+    if pad:
+        pixel = jnp.concatenate([pixel, pixel[:pad]])
+        xs = jnp.concatenate([xs, xs[:pad]])
+        ys = jnp.concatenate([ys, ys[:pad]])
+    lo, hi = rank * per, (rank + 1) * per
     print(f"process {rank}/{world}: pixels [{lo}, {hi}) on "
           f"{len(jax.local_devices())} local devices")
 
-    acc = jnp.zeros((hi - lo, 3), jnp.float32)
+    acc = jnp.zeros((per, 3), jnp.float32)
     for f in range(args.frames):
         sample = render_pixels(scene, camera, settings, cfg, jnp.uint32(f),
                                pixel[lo:hi], xs[lo:hi], ys[lo:hi])
@@ -77,7 +86,7 @@ def main():
 
     full = gather_film_to_host(acc)
     if full is not None:
-        write_png(args.out, np.asarray(full).reshape(h, w, 3))
+        write_png(args.out, np.asarray(full)[:n].reshape(h, w, 3))
         print(f"wrote {args.out}")
     jax.distributed.shutdown()
 

@@ -964,9 +964,11 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             salt = salt_base + jnp.uint32(b * 4)
             if integ == "whitted":
                 def shadow_search(o3, d3, mask):
-                    w, _ = _search(tri, sph, pln, meta, *o3, *d3, mint,
-                                   cull=cull, live=mask,
-                                   cull_scratch=cull_scratch)
+                    w, st2 = _search(tri, sph, pln, meta, *o3, *d3, mint,
+                                     cull=cull, live=mask,
+                                     cull_scratch=cull_scratch)
+                    for j in range(3):
+                        stat_acc[j] = stat_acc[j] + st2[j]
                     return w
                 state = _shade_whitted(mat, meta, pix, frame, salt, state,
                                        winner, shadow_search)
@@ -983,9 +985,10 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             # search, terminate on emission or sky (integrators.glsl:483-487,
             # mirrored from models/integrators.py integrator_cook tail).
             fin = active & final
-            tw, _ = _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz,
-                            mint, cull=cull, live=fin,
-                            cull_scratch=cull_scratch)
+            tw, tail_stats = _search(tri, sph, pln, meta, ox, oy, oz,
+                                     dx, dy, dz, mint, cull=cull, live=fin,
+                                     cull_scratch=cull_scratch)
+            stat_acc = [a + s2 for a, s2 in zip(stat_acc, tail_stats)]
             m2 = _mat_fetch(mat, meta, tw[4])
             hit2 = tw[5] >= 0
             sky_r = _WHITE[0] + (_BLUE[0] - _WHITE[0]) * dy
@@ -1437,14 +1440,16 @@ class PathTracer:
               style="reference", interpret=False, collect_states=False,
               gen_rays=False, cam_params=None, cam_mode=PINHOLE,
               jitter_salt=0, stats=False, integ="kajiya"):
-        if integ != "kajiya":
-            assert not collect_states, "hit records are a Kajiya-only path"
         """Trace full paths.  Returns (r, g, b) flat [N] radiance — plus,
         with ``collect_states``, the residual record for bwd_path.
 
         With ``gen_rays`` the kernel generates camera rays itself from the
         pixel ids (origin/direction are ignored; pass None) — cam_params is
-        the f32[24] vector from camera_params()."""
+        the f32[24] vector from camera_params().  ``integ`` selects the
+        bounce integrator (kajiya/whitted/cook); hit-record collection is a
+        Kajiya-only path."""
+        if integ != "kajiya" and collect_states:
+            raise ValueError("hit records are a Kajiya-only path")
         n = pixel.shape[0]
         pix = _to_tiles(pixel)
         if gen_rays:
@@ -1880,13 +1885,8 @@ PRIMARY_MODES = frozenset((0, 1, 2, 3, 4, 5, 6))
 
 # Directional light of the debug integrators (integrators.glsl; the XLA
 # constants in models/integrators.py) — normalize(0.5, 1.0, 0.3).
-import numpy as _np
-
-_LDIR = tuple(
-    float(v) for v in
-    (_np.array([0.5, 1.0, 0.3], _np.float32)
-     / _np.float32(_np.linalg.norm(_np.array([0.5, 1.0, 0.3], _np.float32))))
-)
+_LNORM = (0.5 * 0.5 + 1.0 * 1.0 + 0.3 * 0.3) ** 0.5
+_LDIR = (0.5 / _LNORM, 1.0 / _LNORM, 0.3 / _LNORM)
 _AMBIENT = 0.1
 _LIGHT_I = 1.0
 
@@ -1943,11 +1943,10 @@ def make_primary_kernel(meta, mint, *, mode, cam_mode, nrays):
         nY = jnp.where(hit, wny * inv_nl, 0.0)
         nZ = jnp.where(hit, wnz * inv_nl, 0.0)
 
-        mrows = jax.lax.broadcasted_iota(jnp.int32, (meta["mat_rows"], S, L), 0)
-        is_m = mrows == wmat.astype(jnp.int32)[None]
+        mtab = _mat_fetch(mat, meta, wmat)
 
         def mfetch(name):
-            return jnp.sum(jnp.where(is_m, mat[name], 0.0), axis=0)
+            return mtab[name]
 
         if mode == 0:       # binary (integrators.glsl:24-38)
             r = g = b = hit_f

@@ -201,12 +201,14 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         # Jitter + camera ray generation run inside the path kernel — the
         # film output is the only ray-sized HBM traffic of the frame.
         if mode in PRIMARY_MODES:
+            # nrays (a static jit arg) matters only to AO's probe loop;
+            # pinning it to 1 elsewhere avoids recompiles on bounce changes.
             r, g, b = pt.trace_primary(
                 pixel, frame, mode, cam_params=cam_params,
                 cam_mode=camera.mode,
                 salt_base=salt0 + _INTEGRATOR_SITE,
                 jitter_salt=salt0 + _JITTER_SITE,
-                nrays=max(int(settings.max_bounces), 1),
+                nrays=max(int(settings.max_bounces), 1) if mode == 5 else 1,
             )
         else:
             integ = {7: "whitted", 8: "cook"}.get(mode, "kajiya")

@@ -83,18 +83,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_render_and_gather(tmp_path):
-    port = _free_port()
-    out = str(tmp_path / "film.npy")
-    worker_py = tmp_path / "worker.py"
-    worker_py.write_text(WORKER)
-
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env.pop("JAX_COMPILATION_CACHE_DIR", None)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-
+def _run_workers(worker_py, out, env, port):
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker_py), str(pid), str(port), out],
@@ -112,8 +101,31 @@ def test_two_process_render_and_gather(tmp_path):
                 q.kill()
             raise
         outputs.append(stdout)
-    for p, stdout in zip(procs, outputs):
-        assert p.returncode == 0, f"worker failed:\n{stdout}"
+    return procs, outputs
+
+
+def test_two_process_render_and_gather(tmp_path):
+    out = str(tmp_path / "film.npy")
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    # _free_port is a TOCTOU probe — another process can grab the port
+    # before the coordinator binds it, so retry with a fresh port.
+    for attempt in range(3):
+        procs, outputs = _run_workers(worker_py, out, env, _free_port())
+        if all(p.returncode == 0 for p in procs):
+            break
+        bindish = any("bind" in o.lower() or "address" in o.lower()
+                      for o in outputs)
+        if attempt == 2 or not bindish:
+            for p, stdout in zip(procs, outputs):
+                assert p.returncode == 0, f"worker failed:\n{stdout}"
     assert "WORKER_OK 0" in outputs[0] + outputs[1]
 
     # single-process reference in THIS process (8 virtual devices, same RNG)
