@@ -2071,3 +2071,170 @@ def _primary_call(frame, salt_base, jitter_salt, cam_params, tables,
         ),
         interpret=interpret, scratch_shapes=scratch,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Hart sphere-trace kernel (mode 10): the march-iteration heat map
+# ---------------------------------------------------------------------------
+
+MARCH_ITER = 32   # reference: compute_pass.comp:10
+MARCH_EPS = 0.1   # reference: compute_pass.comp:11
+
+
+def pack_hart(scene: Scene) -> tuple[tuple, dict]:
+    """Raw-vertex SMEM tables for the in-kernel SDF march: 9 flat f32[Tp]
+    component tables (v0/v1/v2 xyz).  Padding repeats the last triangle
+    (duplicates are harmless under the min-distance reduce)."""
+    t = scene.num_triangles
+    tp = max(-(-max(t, 1) // 8) * 8, 8)
+
+    def flat(col):
+        a = jnp.asarray(col, jnp.float32)
+        if t == 0:
+            return jnp.full((tp,), 1e15, jnp.float32)
+        return jnp.pad(a, (0, tp - t), mode="edge")
+
+    tabs = tuple(
+        flat(v[:, k]) for v in (scene.tri_v0, scene.tri_v1, scene.tri_v2)
+        for k in range(3)
+    )
+    return tabs, dict(hart_rows=tp, num_tri=t)
+
+
+def make_hart_kernel(meta, mint, *, cam_mode):
+    """Sphere tracing over the scene triangle SDF (ops/sdf.py sphere_trace,
+    distance_functions.glsl:70-116): MARCH_ITER steps of iq triangle
+    distance (SMEM-scalar triangles), output = iterations / (MARCH_ITER-1).
+    A whole-tile all-done check skips remaining iterations' VPU work."""
+    n_tri = max(meta["num_tri"], 1)
+
+    def kernel(ctl_ref, *refs):
+        cam_ref = refs[0]
+        tabs = refs[1:10]
+        pix_ref = refs[10]
+        outs = refs[11:14]
+
+        frame = ctl_ref[0]
+        jitter_salt = ctl_ref[2]
+        pix = pix_ref[0]
+        ox, oy, oz, dx, dy, dz = _gen_rays_inkernel(
+            cam_ref, pix, frame, jitter_salt, cam_mode
+        )
+
+        def scene_dist(px, py, pz):
+            def tri_body(j, best):
+                ax, ay, az = tabs[0][j], tabs[1][j], tabs[2][j]
+                bx, by, bz = tabs[3][j], tabs[4][j], tabs[5][j]
+                cx, cy, cz = tabs[6][j], tabs[7][j], tabs[8][j]
+                bax, bay, baz = bx - ax, by - ay, bz - az
+                cbx, cby, cbz = cx - bx, cy - by, cz - bz
+                acx, acy, acz = ax - cx, ay - cy, az - cz
+                # nor = cross(ba, ac) — scalars
+                nx = bay * acz - baz * acy
+                ny = baz * acx - bax * acz
+                nz = bax * acy - bay * acx
+                pax, pay, paz = px - ax, py - ay, pz - az
+                pbx, pby, pbz = px - bx, py - by, pz - bz
+                pcx, pcy, pcz = px - cx, py - cy, pz - cz
+
+                def edge_sign(ex, ey, ez, qx, qy, qz):
+                    # sign(dot(cross(e, nor), q))
+                    cxx = ey * nz - ez * ny
+                    cyy = ez * nx - ex * nz
+                    czz = ex * ny - ey * nx
+                    return jnp.sign(cxx * qx + cyy * qy + czz * qz)
+
+                edge_region = (
+                    edge_sign(bax, bay, baz, pax, pay, paz)
+                    + edge_sign(cbx, cby, cbz, pbx, pby, pbz)
+                    + edge_sign(acx, acy, acz, pcx, pcy, pcz)
+                ) < 2.0
+
+                def edge_dist(ex, ey, ez, qx, qy, qz):
+                    e2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-20)
+                    h = jnp.clip((ex * qx + ey * qy + ez * qz) / e2, 0.0, 1.0)
+                    rx, ry, rz = ex * h - qx, ey * h - qy, ez * h - qz
+                    return rx * rx + ry * ry + rz * rz
+
+                d_edge = jnp.minimum(
+                    jnp.minimum(edge_dist(bax, bay, baz, pax, pay, paz),
+                                edge_dist(cbx, cby, cbz, pbx, pby, pbz)),
+                    edge_dist(acx, acy, acz, pcx, pcy, pcz),
+                )
+                dn = nx * pax + ny * pay + nz * paz
+                d_face = dn * dn / jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                               1e-20)
+                d2 = jnp.where(edge_region, d_edge, d_face)
+                return jnp.minimum(best, d2)
+
+            d2 = jax.lax.fori_loop(
+                0, n_tri, tri_body, jnp.full((S, L), _BIG, jnp.float32))
+            return jnp.sqrt(d2)
+
+        t0 = jnp.full((S, L), jnp.float32(mint))
+        px = ox + t0 * dx
+        py = oy + t0 * dy
+        pz = oz + t0 * dz
+
+        # March loop statically unrolled (Mosaic cannot legalize the
+        # cond-in-fori-in-fori nest); each step skips its triangle sweep
+        # once every lane has converged.
+        iters = jnp.full((S, L), MARCH_ITER, jnp.int32)
+        done = jnp.zeros((S, L), bool)
+        for i in range(MARCH_ITER):
+            dist = jax.lax.cond(
+                jnp.all(done),
+                lambda _: jnp.zeros((S, L), jnp.float32),
+                lambda _: scene_dist(px, py, pz),
+                None,
+            )
+            stop = dist < MARCH_EPS   # maxt = inf (integrator_hart)
+            newly = (~done) & stop
+            iters = jnp.where(newly, i, iters)
+            adv = (~done) & ~stop
+            px = jnp.where(adv, px + dist * dx, px)
+            py = jnp.where(adv, py + dist * dy, py)
+            pz = jnp.where(adv, pz + dist * dz, pz)
+            done = done | stop
+        val = iters.astype(jnp.float32) * (1.0 / (MARCH_ITER - 1))
+        for o in outs:
+            o[0] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "meta_key", "mint", "cam_mode", "interpret"))
+def _hart_call(frame, jitter_salt, cam_params, tabs, pix, meta_key, mint,
+               cam_mode, interpret):
+    meta = dict(meta_key)
+    grid = pix.shape[0]
+    kern = make_hart_kernel(meta, mint, cam_mode=cam_mode)
+    row = pl.BlockSpec((1, S, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 9 + [row])
+    ctl = jnp.stack([jnp.asarray(frame, jnp.uint32), jnp.uint32(0),
+                     jnp.asarray(jitter_salt, jnp.uint32)])
+    return pl.pallas_call(
+        kern, grid=(grid,), in_specs=in_specs,
+        out_specs=tuple([row] * 3),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((grid, S, L), jnp.float32) for _ in range(3)
+        ),
+        interpret=interpret,
+    )(ctl, cam_params, *tabs, pix)
+
+
+def trace_hart(scene, pixel, frame, *, cam_params, cam_mode, jitter_salt,
+               mint=0.0, interpret=False):
+    """Hart heat map via the march kernel -> (r, g, b) flat [N]."""
+    tabs, meta = pack_hart(scene)
+    n = pixel.shape[0]
+    pix = _to_tiles(pixel)
+    r, g, b = _hart_call(
+        jnp.asarray(frame, jnp.uint32), jnp.asarray(jitter_salt, jnp.uint32),
+        cam_params, tabs, pix, tuple(sorted(meta.items())), float(mint),
+        cam_mode, interpret,
+    )
+    return _from_tiles(r, n), _from_tiles(g, n), _from_tiles(b, n)

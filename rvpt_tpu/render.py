@@ -135,6 +135,10 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
         # primary-hit / Whitted / Cook kernels: no chunked-table support
         if is_bigmesh(scene):
             return False
+    elif mode == 10:
+        # Hart march kernel: raw-vertex SMEM tables, capacity-capped
+        from .ops.pathkernel import CULL_MAX_TRIS
+        return scene.num_triangles <= CULL_MAX_TRIS
     elif mode != 9:
         return False
     if scene.bvh is not None:
@@ -200,7 +204,13 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         salt0 = i * AA_STRIDE
         # Jitter + camera ray generation run inside the path kernel — the
         # film output is the only ray-sized HBM traffic of the frame.
-        if mode in PRIMARY_MODES:
+        if mode == 10:
+            from .ops.pathkernel import trace_hart
+            r, g, b = trace_hart(
+                scene, pixel, frame, cam_params=cam_params,
+                cam_mode=camera.mode, jitter_salt=salt0 + _JITTER_SITE,
+            )
+        elif mode in PRIMARY_MODES:
             # nrays (a static jit arg) matters only to AO's probe loop;
             # pinning it to 1 elsewhere avoids recompiles on bounce changes.
             r, g, b = pt.trace_primary(

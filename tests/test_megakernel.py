@@ -367,3 +367,29 @@ def test_bounce_integ_kernel_multi_group():
     got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
     close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
     assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "sphere_plane"])
+def test_hart_kernel_matches_xla(scene_name):
+    """The in-kernel SDF march must reproduce integrator_hart's iteration
+    heat map (same jittered rays, same eps/iter constants)."""
+    from rvpt_tpu.models.integrators import eval_integrator
+    from rvpt_tpu.ops.pathkernel import camera_params, trace_hart
+    from rvpt_tpu.render import _INTEGRATOR_SITE, _JITTER_SITE
+
+    cfg = FilmConfig(width=24, height=16)
+    maker = {"cornell": builtin.cornell_box, "sphere_plane": builtin.sphere_plane}
+    scene, cam = maker[scene_name](aspect=cfg.aspect)
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(0)
+    st = RenderSettings(max_bounces=2)
+
+    ref = np.asarray(eval_integrator(
+        10, scene, ray, pixel, frame, st, jnp.uint32(_INTEGRATOR_SITE)))
+    r, g, b = trace_hart(
+        scene, pixel, frame, cam_params=camera_params(cam, cfg),
+        cam_mode=cam.mode, jitter_salt=_JITTER_SITE, interpret=True,
+    )
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} of pixels match"
