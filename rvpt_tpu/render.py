@@ -128,19 +128,20 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     if not intersect_mod._use_pallas(max(scene.num_triangles, 1)):
         return False
     modes = set(settings.modes())
-    if len(modes) != 1:
-        return False
-    (mode,) = modes
-    if mode in PRIMARY_MODES or mode in (7, 8):
-        # primary-hit / Whitted / Cook kernels: no chunked-table support
-        if is_bigmesh(scene):
+    if len(modes) > 1 and is_bigmesh(scene):
+        return False   # split-screen quadrants don't ride the chunked path
+    for mode in modes:
+        if mode in PRIMARY_MODES or mode in (7, 8):
+            # primary-hit / Whitted / Cook kernels: no chunked-table support
+            if is_bigmesh(scene):
+                return False
+        elif mode == 10:
+            # Hart march kernel: raw-vertex SMEM tables, capacity-capped
+            from .ops.pathkernel import CULL_MAX_TRIS
+            if scene.num_triangles > CULL_MAX_TRIS:
+                return False
+        elif mode != 9:
             return False
-    elif mode == 10:
-        # Hart march kernel: raw-vertex SMEM tables, capacity-capped
-        from .ops.pathkernel import CULL_MAX_TRIS
-        return scene.num_triangles <= CULL_MAX_TRIS
-    elif mode != 9:
-        return False
     if scene.bvh is not None:
         return True   # <= CULL_MAX_TRIS: SMEM culled; beyond: chunked path
     return scene.num_triangles <= 1024
@@ -179,56 +180,116 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
                          jnp.asarray(frame, jnp.uint32))
 
 
+def _trace_mode_kernel(pt, scene, camera, settings, cfg, cam_params,
+                       pixel, frame, salt0, mode):
+    """One kernel-resident integrator pass over a pixel batch -> (r, g, b).
+    Jitter + camera ray generation run inside the kernels — the film output
+    is the only ray-sized HBM traffic of the pass."""
+    from .ops.pathkernel import PRIMARY_MODES, trace_hart
+
+    if mode == 10:
+        return trace_hart(
+            scene, pixel, frame, cam_params=cam_params,
+            cam_mode=camera.mode, jitter_salt=salt0 + _JITTER_SITE,
+        )
+    if mode in PRIMARY_MODES:
+        # nrays (a static jit arg) matters only to AO's probe loop;
+        # pinning it to 1 elsewhere avoids recompiles on bounce changes.
+        return pt.trace_primary(
+            pixel, frame, mode, cam_params=cam_params,
+            cam_mode=camera.mode,
+            salt_base=salt0 + _INTEGRATOR_SITE,
+            jitter_salt=salt0 + _JITTER_SITE,
+            nrays=max(int(settings.max_bounces), 1) if mode == 5 else 1,
+        )
+    integ = {7: "whitted", 8: "cook"}.get(mode, "kajiya")
+    return pt.trace(
+        pixel, None, None, frame,
+        salt_base=salt0 + _INTEGRATOR_SITE,
+        max_bounces=settings.max_bounces, style=settings.style,
+        gen_rays=True, cam_params=cam_params, cam_mode=camera.mode,
+        jitter_salt=salt0 + _JITTER_SITE, integ=integ,
+    )
+
+
+@lru_cache(maxsize=8)
+def _split_partition(cfg: FilmConfig, settings: RenderSettings):
+    """Static per-(cfg, settings) split-screen partition: for each quadrant
+    mode, the raster pixel ids it owns (matching _mode_masks exactly), plus
+    the inverse permutation that reassembles the film."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:cfg.height, 0:cfg.width]
+    xs = xs.ravel()
+    ys = ys.ravel()
+    sx, sy = settings.split_ratio
+    px = xs.astype(np.float32) / cfg.width
+    py = ys.astype(np.float32) / cfg.height
+    bottom = py > sy
+    right_t = px > sx
+    right_b = ~(px < sx)
+    tl, tr, bl, br = settings.modes()
+    mode_of = np.where(bottom, np.where(right_b, br, bl),
+                       np.where(right_t, tr, tl))
+    parts = []
+    order = []
+    for m in sorted(set(settings.modes())):
+        idx = np.nonzero(mode_of == m)[0]
+        parts.append((int(m), idx))
+        order.append(idx)
+    inv = np.argsort(np.concatenate(order))
+    return tuple(parts), inv
+
+
 @partial(jax.jit, static_argnames=("settings", "cfg"))
 def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                   frame):
     from .models.integrators import AA_STRIDE
-    from .ops.pathkernel import (PRIMARY_MODES, PathTracer, camera_params,
-                                 is_bigmesh)
+    from .ops.pathkernel import PathTracer, camera_params, is_bigmesh
 
     if is_bigmesh(scene):
         return _bigmesh_chw(scene, camera, settings, cfg, frame)
 
-    (mode,) = set(settings.modes())
+    modes = set(settings.modes())
     pt = PathTracer(scene)
     cam_params = camera_params(camera, cfg)
+    frame = jnp.asarray(frame, jnp.uint32)
+
+    if len(modes) > 1:
+        # Split-screen: each quadrant's kernel runs on exactly its own
+        # pixels (RNG keys by global pixel id, so values match the XLA
+        # path's compute-everything-and-select semantics).
+        parts, inv = _split_partition(cfg, settings)
+        pixel_all, _, _ = _pixel_grid(cfg)
+        acc = [0.0, 0.0, 0.0]
+        outs = []
+        for i in range(settings.aa):
+            salt0 = i * AA_STRIDE
+            chunks = []
+            for m, idx in parts:
+                sub = pixel_all[idx]
+                chunks.append(_trace_mode_kernel(
+                    pt, scene, camera, settings, cfg, cam_params,
+                    sub, frame, salt0, m))
+            cat = [jnp.concatenate([c[k] for c in chunks]) for k in range(3)]
+            acc = [a + c for a, c in zip(acc, cat)]
+        scale = 1.0 / settings.aa
+        chans = [(a * scale)[inv] for a in acc]
+        return jnp.stack(chans).reshape(3, cfg.height, cfg.width)
+
+    (mode,) = modes
     pixel, _, _ = _pixel_grid(cfg)
     inv = None
     if pt.meta.get("culled"):
         # Compact-block tile order: tightens the per-tile cluster cull.
         order, inv = _block_order(cfg.width, cfg.height)
         pixel = pixel[order]
-    frame = jnp.asarray(frame, jnp.uint32)
     acc_r = acc_g = acc_b = 0.0
     for i in range(settings.aa):
         salt0 = i * AA_STRIDE
-        # Jitter + camera ray generation run inside the path kernel — the
-        # film output is the only ray-sized HBM traffic of the frame.
-        if mode == 10:
-            from .ops.pathkernel import trace_hart
-            r, g, b = trace_hart(
-                scene, pixel, frame, cam_params=cam_params,
-                cam_mode=camera.mode, jitter_salt=salt0 + _JITTER_SITE,
-            )
-        elif mode in PRIMARY_MODES:
-            # nrays (a static jit arg) matters only to AO's probe loop;
-            # pinning it to 1 elsewhere avoids recompiles on bounce changes.
-            r, g, b = pt.trace_primary(
-                pixel, frame, mode, cam_params=cam_params,
-                cam_mode=camera.mode,
-                salt_base=salt0 + _INTEGRATOR_SITE,
-                jitter_salt=salt0 + _JITTER_SITE,
-                nrays=max(int(settings.max_bounces), 1) if mode == 5 else 1,
-            )
-        else:
-            integ = {7: "whitted", 8: "cook"}.get(mode, "kajiya")
-            r, g, b = pt.trace(
-                pixel, None, None, frame,
-                salt_base=salt0 + _INTEGRATOR_SITE,
-                max_bounces=settings.max_bounces, style=settings.style,
-                gen_rays=True, cam_params=cam_params, cam_mode=camera.mode,
-                jitter_salt=salt0 + _JITTER_SITE, integ=integ,
-            )
+        r, g, b = _trace_mode_kernel(
+            pt, scene, camera, settings, cfg, cam_params,
+            pixel, frame, salt0, mode)
         acc_r = acc_r + r
         acc_g = acc_g + g
         acc_b = acc_b + b

@@ -70,3 +70,56 @@ def test_dirty_resets_film():
     assert int(film.frame) == 2
     film, _ = R.render_frame(scene, cam, st, cfg, film, True)
     assert int(film.frame) == 1
+
+
+def test_split_partition_matches_mode_masks():
+    """The static split partition must agree with the XLA path's
+    _mode_masks selection exactly, and its inverse permutation must
+    reassemble raster order."""
+    import numpy as np
+
+    from rvpt_tpu import FilmConfig, RenderSettings
+    from rvpt_tpu.render import (_mode_masks, _pixel_grid, _split_partition)
+
+    cfg = FilmConfig(width=31, height=17)   # odd sizes stress the edges
+    st = RenderSettings(top_left_render_mode=3, top_right_render_mode=0,
+                        bottom_left_render_mode=1, bottom_right_render_mode=9,
+                        split_ratio=(0.3, 0.6))
+    parts, inv = _split_partition(cfg, st)
+    pixel, xs, ys = _pixel_grid(cfg)
+    want = np.asarray(_mode_masks(st, xs, ys, cfg))
+    got = np.empty_like(want)
+    for m, idx in parts:
+        got[idx] = m
+    assert np.array_equal(got, want)
+    cat = np.concatenate([idx for _, idx in parts])
+    assert np.array_equal(cat[inv], np.arange(cfg.num_pixels))
+
+
+def test_split_fast_path_reassembly(monkeypatch):
+    """_fast_chw_jit's split branch reassembles per-quadrant kernel outputs
+    into the film correctly (tracer stubbed: each mode returns its pixel ids
+    offset by the mode, so any permutation error is visible)."""
+    import numpy as np
+
+    from rvpt_tpu import FilmConfig, RenderSettings
+    from rvpt_tpu import render as render_mod
+    from rvpt_tpu.scene import builtin
+
+    def fake_trace(pt, scene, camera, settings, cfg, cam_params,
+                   pixel, frame, salt0, mode):
+        v = pixel.astype(jnp.float32) + 1000.0 * mode
+        return v, v + 0.25, v + 0.5
+
+    monkeypatch.setattr(render_mod, "_trace_mode_kernel", fake_trace)
+    cfg = FilmConfig(width=16, height=8)
+    st = RenderSettings(top_left_render_mode=3, top_right_render_mode=0,
+                        bottom_left_render_mode=1, bottom_right_render_mode=9)
+    scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+    img = np.asarray(render_mod._fast_chw_jit(
+        scene, cam, st, cfg, jnp.uint32(0)))
+    pixel, xs, ys = render_mod._pixel_grid(cfg)
+    want_mode = np.asarray(render_mod._mode_masks(st, xs, ys, cfg))
+    want = (np.asarray(pixel, np.float32) + 1000.0 * want_mode).reshape(8, 16)
+    assert np.array_equal(img[0], want)
+    assert np.array_equal(img[1], want + 0.25)
