@@ -214,31 +214,37 @@ def _trace_mode_kernel(pt, scene, camera, settings, cfg, cam_params,
 
 @lru_cache(maxsize=8)
 def _split_partition(cfg: FilmConfig, settings: RenderSettings):
-    """Static per-(cfg, settings) split-screen partition: for each quadrant
-    mode, the raster pixel ids it owns (matching _mode_masks exactly), plus
-    the inverse permutation that reassembles the film."""
+    """Static per-(cfg, settings) split-screen partition as quadrant
+    RECTANGLES (mode, y0, y1, x0, x1) matching _mode_masks exactly, each
+    with its raster pixel ids.  Rect-based reassembly uses static slice
+    updates — a flat inverse permutation costs ~60 ms of TPU gathers at
+    1080p (measured)."""
     import numpy as np
 
-    ys, xs = np.mgrid[0:cfg.height, 0:cfg.width]
-    xs = xs.ravel()
-    ys = ys.ravel()
     sx, sy = settings.split_ratio
-    px = xs.astype(np.float32) / cfg.width
-    py = ys.astype(np.float32) / cfg.height
-    bottom = py > sy
-    right_t = px > sx
-    right_b = ~(px < sx)
+    py = np.arange(cfg.height, dtype=np.float32) / cfg.height
+    px = np.arange(cfg.width, dtype=np.float32) / cfg.width
+    rows_b = np.nonzero(py > sy)[0]
+    y_split = int(rows_b[0]) if len(rows_b) else cfg.height
+    cols_t = np.nonzero(px > sx)[0]
+    x_split_t = int(cols_t[0]) if len(cols_t) else cfg.width
+    cols_b = np.nonzero(~(px < sx))[0]
+    x_split_b = int(cols_b[0]) if len(cols_b) else cfg.width
     tl, tr, bl, br = settings.modes()
-    mode_of = np.where(bottom, np.where(right_b, br, bl),
-                       np.where(right_t, tr, tl))
+    rects = [
+        (int(tl), 0, y_split, 0, x_split_t),
+        (int(tr), 0, y_split, x_split_t, cfg.width),
+        (int(bl), y_split, cfg.height, 0, x_split_b),
+        (int(br), y_split, cfg.height, x_split_b, cfg.width),
+    ]
     parts = []
-    order = []
-    for m in sorted(set(settings.modes())):
-        idx = np.nonzero(mode_of == m)[0]
-        parts.append((int(m), idx))
-        order.append(idx)
-    inv = np.argsort(np.concatenate(order))
-    return tuple(parts), inv
+    for m, y0, y1, x0, x1 in rects:
+        if y1 <= y0 or x1 <= x0:
+            continue
+        ys2, xs2 = np.mgrid[y0:y1, x0:x1]
+        pix = (xs2 + ys2 * cfg.width).ravel().astype(np.uint32)
+        parts.append((m, (y0, y1, x0, x1), pix))
+    return tuple(parts)
 
 
 @partial(jax.jit, static_argnames=("settings", "cfg"))
@@ -258,24 +264,24 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     if len(modes) > 1:
         # Split-screen: each quadrant's kernel runs on exactly its own
         # pixels (RNG keys by global pixel id, so values match the XLA
-        # path's compute-everything-and-select semantics).
-        parts, inv = _split_partition(cfg, settings)
-        pixel_all, _, _ = _pixel_grid(cfg)
-        acc = [0.0, 0.0, 0.0]
-        outs = []
-        for i in range(settings.aa):
-            salt0 = i * AA_STRIDE
-            chunks = []
-            for m, idx in parts:
-                sub = pixel_all[idx]
-                chunks.append(_trace_mode_kernel(
-                    pt, scene, camera, settings, cfg, cam_params,
-                    sub, frame, salt0, m))
-            cat = [jnp.concatenate([c[k] for c in chunks]) for k in range(3)]
-            acc = [a + c for a, c in zip(acc, cat)]
+        # path's compute-everything-and-select semantics); reassembly is
+        # static rectangle slice updates, never a gather.
+        parts = _split_partition(cfg, settings)
+        out = jnp.zeros((3, cfg.height, cfg.width), jnp.float32)
         scale = 1.0 / settings.aa
-        chans = [(a * scale)[inv] for a in acc]
-        return jnp.stack(chans).reshape(3, cfg.height, cfg.width)
+        for m, (y0, y1, x0, x1), pix_np in parts:
+            sub = jnp.asarray(pix_np)
+            acc = [0.0, 0.0, 0.0]
+            for i in range(settings.aa):
+                salt0 = i * AA_STRIDE
+                r, g, b = _trace_mode_kernel(
+                    pt, scene, camera, settings, cfg, cam_params,
+                    sub, frame, salt0, m)
+                acc = [a + c for a, c in zip(acc, (r, g, b))]
+            rect = jnp.stack(
+                [(a * scale).reshape(y1 - y0, x1 - x0) for a in acc])
+            out = jax.lax.dynamic_update_slice(out, rect, (0, y0, x0))
+        return out
 
     (mode,) = modes
     pixel, _, _ = _pixel_grid(cfg)

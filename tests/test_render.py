@@ -85,15 +85,16 @@ def test_split_partition_matches_mode_masks():
     st = RenderSettings(top_left_render_mode=3, top_right_render_mode=0,
                         bottom_left_render_mode=1, bottom_right_render_mode=9,
                         split_ratio=(0.3, 0.6))
-    parts, inv = _split_partition(cfg, st)
+    parts = _split_partition(cfg, st)
     pixel, xs, ys = _pixel_grid(cfg)
     want = np.asarray(_mode_masks(st, xs, ys, cfg))
-    got = np.empty_like(want)
-    for m, idx in parts:
-        got[idx] = m
+    got = np.full_like(want, -1)
+    for m, (y0, y1, x0, x1), pix in parts:
+        # rect pixel ids are row-major within the rect
+        ys2, xs2 = np.mgrid[y0:y1, x0:x1]
+        assert np.array_equal(pix, (xs2 + ys2 * cfg.width).ravel())
+        got[pix] = m
     assert np.array_equal(got, want)
-    cat = np.concatenate([idx for _, idx in parts])
-    assert np.array_equal(cat[inv], np.arange(cfg.num_pixels))
 
 
 def test_split_fast_path_reassembly(monkeypatch):
