@@ -101,15 +101,21 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     n_tiles = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
     pixel, _, _ = _pixel_grid(cfg)
-    inv_ord = None
+    inv_ord = block_meta = None
     bigmesh = is_bigmesh(scene)
     if scene.bvh is not None and scene.num_triangles > 0:
-        # Mesh scenes (culled or chunked): permute pixels into compact
+        # Mesh scenes (culled or chunked): arrange pixels into compact
         # screen blocks BEFORE sharding, so each shard's kernel tiles stay
         # frustum-tight (raw raster order would hand every tile a ~4-row
-        # film strip).
-        order, inv_ord = _block_order(cfg.width, cfg.height)
-        pixel = pixel[order]
+        # film strip).  Prefer the gather-free padded block layout.
+        from ..render import _block_grid
+        grid = _block_grid(cfg.width, cfg.height)
+        if grid is not None:
+            pixel_np, block_meta = grid
+            pixel = jnp.asarray(pixel_np)
+        else:
+            order, inv_ord = _block_order(cfg.width, cfg.height)
+            pixel = pixel[order]
     n = pixel.shape[0]
     pad = (-n) % n_tiles
     if pad:
@@ -166,6 +172,11 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     frame = jnp.asarray(frame, jnp.uint32)
     sampled = tile_render(pixel, scene, cp, frame)
     out = sampled[:, :n]
+    if block_meta is not None:
+        from ..render import _unblock
+        return jnp.stack(
+            [_unblock(out[k], cfg.width, cfg.height, block_meta)
+             for k in range(3)])
     if inv_ord is not None:
         out = out[:, inv_ord]
     return out.reshape(3, cfg.height, cfg.width)
