@@ -37,6 +37,11 @@ def main() -> None:
     from rvpt_tpu.render import _pixel_grid, render_sample_fast_chw
     from rvpt_tpu.scene import builtin
     from rvpt_tpu.train.inverse import apply_params, trainable_params
+    from rvpt_tpu.utils import compile_cache
+
+    cached = compile_cache.enable()
+    print(f"persistent compilation cache: {'on' if cached else 'off (CPU)'}",
+          file=sys.stderr)
 
     width, height, bounces, aa = 1920, 1080, 4, 1
     cfg = FilmConfig(width=width, height=height)
@@ -131,5 +136,77 @@ def main() -> None:
     )
 
 
+def main_sharded(width: int = 1920, height: int = 1080, bounces: int = 4,
+                 iters: int = 10) -> None:
+    """Scaling-efficiency harness (BASELINE.md: >=85% rays/s 1 chip -> N).
+
+    Renders the Cornell 1080p config over a (tiles,) mesh of ALL visible
+    devices through the sharded kernel path and reports rays/s/chip against
+    the single-device fast path measured in the SAME run (tunnel variance
+    makes cross-run comparison meaningless).  On the single-chip TPU env this
+    measures sharded-path overhead (n=1); on a multi-chip slice or the
+    8-device virtual CPU mesh it measures true scaling efficiency.
+    """
+    from rvpt_tpu import FilmConfig, RenderSettings
+    from rvpt_tpu.parallel import mesh as mesh_mod
+    from rvpt_tpu.parallel.sharded import render_sample_sharded_fast
+    from rvpt_tpu.render import render_sample_fast_chw
+    from rvpt_tpu.scene import builtin
+    from rvpt_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    devices = jax.devices()
+    n = len(devices)
+    interpret = devices[0].platform != "tpu"
+    cfg = FilmConfig(width=width, height=height)
+    settings = RenderSettings(max_bounces=bounces, style="standard")
+    scene, camera = builtin.cornell_box(aspect=cfg.aspect)
+    rays = width * height * settings.aa * bounces
+    mesh = mesh_mod.make_mesh(n, 1, devices=devices)
+
+    def bench(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    single = jax.jit(
+        lambda f: render_sample_fast_chw(scene, camera, settings, cfg, f)
+    )
+    dt_single = bench(single, jnp.uint32(1))
+
+    sharded = jax.jit(lambda f: render_sample_sharded_fast(
+        scene, camera, settings, cfg, f, mesh, interpret=interpret))
+    dt_sharded = bench(sharded, jnp.uint32(1))
+
+    per_chip = rays / dt_sharded / n
+    eff = per_chip / (rays / dt_single)
+    print(
+        f"single-chip: {dt_single*1e3:.2f} ms  sharded({n} dev): "
+        f"{dt_sharded*1e3:.2f} ms  rays/s/chip ratio: {eff:.3f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "cornell_sharded_efficiency",
+        "value": round(eff, 4),
+        "unit": f"rays/s/chip vs 1-chip, n={n}",
+        "vs_baseline": round(eff / 0.85, 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--sharded" in sys.argv:
+        # Optional film override for CI smoke runs on the virtual CPU mesh:
+        #   python bench.py --sharded 128x64
+        size = next((a for a in sys.argv[1:] if "x" in a and a[0].isdigit()),
+                    None)
+        if size:
+            w, h = (int(v) for v in size.split("x"))
+            main_sharded(width=w, height=h, bounces=2, iters=2)
+        else:
+            main_sharded()
+    else:
+        main()

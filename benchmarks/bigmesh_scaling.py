@@ -1,0 +1,95 @@
+"""Big-mesh scaling benchmark: chunked kernel, with/without wavefront sort.
+
+Measures the display path's core loop (BigMeshTracer, block-grid pixels,
+in-XLA raygen) at 1080p x 8 bounces over three mesh sizes:
+
+  icosphere subdiv 5   20,482 tris
+  icosphere subdiv 6   81,920 tris
+  terrain n=225       100,354 tris (incl. light quad; >=100k-tri OBJ class)
+
+Every comparison is same-process (the TPU tunnel drifts ~25% between
+sessions, BASELINE.md).  Run on the TPU with the ambient env:
+
+  python benchmarks/bigmesh_scaling.py [--quick]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def make_fn(scene, cam, cfg, bounces, sort):
+    from rvpt_tpu.render import _block_grid, jittered_camera_rays
+    from rvpt_tpu.ops.pathkernel import BigMeshTracer
+
+    pixel_np, _meta = _block_grid(cfg.width, cfg.height)
+    pixel = jnp.asarray(pixel_np)
+    xs = pixel % jnp.uint32(cfg.width)
+    ys = pixel // jnp.uint32(cfg.width)
+
+    @jax.jit
+    def fn(frame):
+        bt = BigMeshTracer(scene)
+        ray = jittered_camera_rays(cam, cfg, pixel, xs, ys, frame,
+                                   jnp.uint32(0))
+        r, g, b = bt.trace(
+            pixel, ray.origin, ray.direction, frame,
+            salt_base=jnp.uint32(16), max_bounces=bounces, sort_rays=sort,
+        )
+        return r.sum() + g.sum() + b.sum()
+
+    return fn
+
+
+def bench(fn, iters):
+    t0 = time.perf_counter()
+    out = fn(jnp.uint32(0))
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(jnp.uint32(i + 1))
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters, compile_s
+
+
+def main():
+    from rvpt_tpu import FilmConfig
+    from rvpt_tpu.scene import builtin
+    from rvpt_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    quick = "--quick" in sys.argv
+    cfg = FilmConfig(width=1920, height=1080)
+    bounces = 8
+    rays = cfg.num_pixels * bounces
+
+    scenes = [("ico5", *builtin.mesh_demo(subdiv=5, aspect=cfg.aspect))]
+    if not quick:
+        scenes += [
+            ("ico6", *builtin.mesh_demo(subdiv=6, aspect=cfg.aspect)),
+            ("terrain225", *builtin.terrain_demo(n=225, aspect=cfg.aspect)),
+        ]
+
+    results = {}
+    for name, scene, cam in scenes:
+        for sort in ((False, True) if name == "ico5" else (True, False)):
+            iters = 4 if sort else 2
+            fn = make_fn(scene, cam, cfg, bounces, sort)
+            dt, compile_s = bench(fn, iters)
+            tag = f"{name}[{scene.num_triangles}]{'+sort' if sort else ''}"
+            results[tag] = dt
+            print(
+                f"{tag:28s} {dt*1e3:9.1f} ms/frame "
+                f"{rays/dt/1e6:8.1f} Mrays/s  (compile {compile_s:.1f}s)",
+                flush=True,
+            )
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

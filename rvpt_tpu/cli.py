@@ -21,8 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="rvpt_tpu", description="TPU-native differentiable path tracer"
     )
     p.add_argument("--scene", default="cornell",
-                   help="builtin scene (cornell|sphere_plane|mesh[:subdiv]) "
-                        "or path to .obj")
+                   help="builtin scene (cornell|sphere_plane|rabbit|"
+                        "mesh[:subdiv]) or path to .obj")
     p.add_argument("--size", default="1024x512",
                    help="film WxH (reference default 1024x512, main.cpp:96-97)")
     p.add_argument("--frames", type=int, default=8,
@@ -66,6 +66,10 @@ def main(argv=None) -> int:
 
     import numpy as np
 
+    from .utils import compile_cache
+
+    compile_cache.enable()  # persistent XLA cache (TPU only; see module doc)
+
     from . import FilmConfig, RenderSettings
     from .models.camera import CAMERA_MODE_NAMES
     from .models.integrators import INTEGRATOR_NAMES
@@ -80,6 +84,9 @@ def main(argv=None) -> int:
         scene, camera = builtin.cornell_box(aspect=cfg.aspect)
     elif args.scene == "sphere_plane":
         scene, camera = builtin.sphere_plane(aspect=cfg.aspect)
+    elif args.scene == "rabbit":
+        # The reference's demo scene (main.cpp:96-107).
+        scene, camera = builtin.rabbit(aspect=cfg.aspect)
     elif re.fullmatch(r"mesh(:\d+)?", args.scene):
         # "mesh" or "mesh:N" — the icosphere demo at subdivision N (BVH
         # attached; larger N exercises the culled/chunked kernel paths).

@@ -1817,13 +1817,64 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state,
     )(ctl, *tables, *chunk_tables, pix, *state)
 
 
+def _morton7(q):
+    """Spread the low 7 bits of i32 ``q`` so consecutive bits land 3 apart
+    (the standard 3D Morton bit-interleave magic)."""
+    q = (q | (q << 16)) & 0x030000FF
+    q = (q | (q << 8)) & 0x0300F00F
+    q = (q | (q << 4)) & 0x030C30C3
+    q = (q | (q << 2)) & 0x09249249
+    return q
+
+
+_DEAD_KEY = jnp.int32(0x40000000)
+
+
+def _bigmesh_sort_key(state, lo, inv_ext):
+    """Wavefront coherence key for live rays: direction OCTANT major (3
+    bits), origin Morton code minor (21 bits, 7/axis over the scene box).
+
+    After one Lambert bounce, ray directions fan out everywhere, so a tile
+    of raster-adjacent rays needs ~half of all clusters (the round-1
+    measured union bound, BASELINE.md).  Sorting by octant-then-origin
+    re-packs each [8,1024] kernel tile into a frustum-ish bundle — same
+    direction signs, compact origins — so the per-tile cluster cull bites
+    again.  Origin-only Morton keys were measured insufficient in round 1
+    (direction fan-out defeats origin locality); the octant bits are the
+    load-bearing difference.  Dead rays key to +inf-ish so whole tiles go
+    idle (the kernel's any-live gate skips their walk entirely)."""
+    ox, oy, oz, dx, dy, dz = state[:6]
+    live = state[15] > 0.0
+    octant = ((dx < 0.0).astype(jnp.int32) * 4
+              + ((dy < 0.0).astype(jnp.int32) * 2)
+              + (dz < 0.0).astype(jnp.int32))
+
+    def q(o, k):
+        f = (o - lo[k]) * inv_ext[k] * 128.0
+        return jnp.clip(f, 0.0, 127.0).astype(jnp.int32)
+
+    m = ((_morton7(q(ox, 0)) << 2) | (_morton7(q(oy, 1)) << 1)
+         | _morton7(q(oz, 2)))
+    return jnp.where(live, (octant << 21) | m, _DEAD_KEY)
+
+
 class BigMeshTracer:
     """Whole-path tracer for meshes beyond CULL_MAX_TRIS.
 
     One kernel launch per bounce (ray state rides HBM rows between bounces
     — ~0.2 ms/bounce at 1080p, negligible at big-mesh frame times); within a
     launch a second grid axis streams the leaf-ordered triangle tables
-    through SMEM chunk by chunk.  Same bounce semantics as PathTracer."""
+    through SMEM chunk by chunk.  Same bounce semantics as PathTracer.
+
+    Between bounces, live rays are re-sorted by (direction octant, origin
+    Morton) with ONE variadic lax.sort over key + all carries (~0.2 ms at
+    1080p; an argsort+gather formulation costs 270 ms — TPU gathers run
+    <1 Gelem/s).  This is the wavefront-coherence move the fused small-mesh
+    kernel can't afford (it would have to relaunch per bounce, measured 79%
+    slower at 1.3k tris) but the chunked path gets almost for free since it
+    relaunches anyway.  Per-lane results are invariant to tile composition
+    (a cluster a lane's slab test passes is always walked; winner selects
+    are per-lane), so sorted and unsorted images match."""
 
     def __init__(self, scene: Scene, mint: float = 0.0):
         if scene.bvh is None:
@@ -1835,13 +1886,27 @@ class BigMeshTracer:
         self.chunk_tables, cm = pack_cull_chunked(scene)
         self.meta.update(cm)
         self.meta_key = tuple(sorted(self.meta.items()))
+        # Scene box for origin quantization (bounce origins sit on surfaces;
+        # the floor plane may extend beyond — clipped to the box edge).
+        bmin = jnp.minimum(jnp.minimum(scene.tri_v0.min(axis=0),
+                                       scene.tri_v1.min(axis=0)),
+                           scene.tri_v2.min(axis=0))
+        bmax = jnp.maximum(jnp.maximum(scene.tri_v0.max(axis=0),
+                                       scene.tri_v1.max(axis=0)),
+                           scene.tri_v2.max(axis=0))
+        self._box_lo = bmin
+        self._box_inv = 1.0 / jnp.maximum(bmax - bmin, 1e-6)
 
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
-              style="reference", interpret=False, collect_hits=False):
+              style="reference", interpret=False, collect_hits=False,
+              sort_rays=True):
         """Trace full paths -> (r, g, b) flat [N] radiance.
 
         With ``collect_hits`` also returns (fams, idxs) i32[B, N] per-bounce
-        hit records in the replay-from-hits layout (ops.fast_grad)."""
+        hit records in the replay-from-hits layout (ops.fast_grad); hit
+        records are emitted in the caller's ray order regardless of
+        ``sort_rays`` (each bounce's records are written before the next
+        re-sort and unsorted with the same slot keys)."""
         n = pixel.shape[0]
         pix = _to_tiles(pixel)
         if isinstance(origin, tuple):
@@ -1856,19 +1921,45 @@ class BigMeshTracer:
             ones, ones, ones, zeros, zeros, zeros, zeros, zeros, zeros, ones,
         )
         frame = jnp.asarray(frame, jnp.uint32)
+        nb = int(max_bounces)
+        shape = pix.shape
+        total = pix.size
+        # slot = position in the caller's ray order; rides the sorts so the
+        # film (and per-bounce hit records) can be restored at the end.
+        slot = jnp.arange(total, dtype=jnp.int32).reshape(shape)
         fams, idxs = [], []
-        for b in range(int(max_bounces)):
+        for b in range(nb):
             outs = _bigmesh_call(
                 frame, jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(b * 4),
                 self.tables, self.chunk_tables, pix, state,
                 self.meta_key, self.mint, style,
-                b == int(max_bounces) - 1, interpret, collect_hits,
+                b == nb - 1, interpret, collect_hits,
             )
             state = outs[:16]
             if collect_hits:
-                fams.append(_from_tiles(outs[16], n))
-                idxs.append(_from_tiles(outs[17], n))
+                if sort_rays and b > 0:
+                    flat = jax.lax.sort(
+                        [slot.reshape(-1), outs[16].reshape(-1),
+                         outs[17].reshape(-1)], num_keys=1)
+                    fam_b, idx_b = flat[1].reshape(shape), flat[2].reshape(shape)
+                else:
+                    fam_b, idx_b = outs[16], outs[17]
+                fams.append(_from_tiles(fam_b, n))
+                idxs.append(_from_tiles(idx_b, n))
+            if sort_rays and b < nb - 1:
+                key = _bigmesh_sort_key(state, self._box_lo, self._box_inv)
+                ops = [key.reshape(-1), pix.reshape(-1), slot.reshape(-1)]
+                ops += [s.reshape(-1) for s in state]
+                srt = jax.lax.sort(ops, num_keys=1)
+                pix = srt[1].reshape(shape)
+                slot = srt[2].reshape(shape)
+                state = tuple(s.reshape(shape) for s in srt[3:])
         rr, rg, rb = state[12], state[13], state[14]
+        if sort_rays and nb > 1:
+            flat = jax.lax.sort(
+                [slot.reshape(-1), rr.reshape(-1), rg.reshape(-1),
+                 rb.reshape(-1)], num_keys=1)
+            rr, rg, rb = (flat[k].reshape(shape) for k in (1, 2, 3))
         res = (_from_tiles(rr, n), _from_tiles(rg, n), _from_tiles(rb, n))
         if collect_hits:
             return res, (jnp.stack(fams), jnp.stack(idxs))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from collections import deque
 from typing import Optional
 
 import jax
@@ -26,13 +27,17 @@ from .render import render_frame_jit
 from .scene.bvh import BvhHost, attach_bvh, build_bvh, triangle_bounds
 from .scene.scene import Scene
 from .utils import checkpoint as ckpt
+from .utils.hot_reload import SourceWatcher
 from .utils.image import write_png
 from .utils.timer import FrameTimer
 
+# The reference keeps 2 frames in flight: the CPU records frame N+1 while the
+# GPU executes N (rvpt.h:25, rvpt.cpp:346-404).  Here JAX's async dispatch is
+# the "record"; draw() blocks only on the frame before last.
+MAX_FRAMES_IN_FLIGHT = 2
 
-def _state_fingerprint(camera: Camera, settings: RenderSettings):
-    """The 'previous frame state' equality check (rvpt.cpp:21-29): any change
-    here restarts temporal accumulation."""
+
+def _camera_fingerprint(camera: Camera):
     return (
         tuple(np.asarray(camera.translation).tolist()),
         tuple(np.asarray(camera.rotation).tolist()),
@@ -40,8 +45,13 @@ def _state_fingerprint(camera: Camera, settings: RenderSettings):
         float(camera.scale),
         camera.mode,
         camera.aspect,
-        settings,
     )
+
+
+def _state_fingerprint(camera: Camera, settings: RenderSettings):
+    """The 'previous frame state' equality check (rvpt.cpp:21-29): any change
+    here restarts temporal accumulation."""
+    return _camera_fingerprint(camera) + (settings,)
 
 
 class Renderer:
@@ -53,6 +63,7 @@ class Renderer:
         film: FilmConfig | None = None,
         use_bvh: bool = False,
         mesh=None,
+        frames_in_flight: int = MAX_FRAMES_IN_FLIGHT,
     ) -> None:
         self.settings = settings or RenderSettings()
         self.film_cfg = film or FilmConfig()
@@ -61,10 +72,24 @@ class Renderer:
         self.mesh = mesh
         self.film = Film.create(self.film_cfg.height, self.film_cfg.width)
         self.timer = FrameTimer()
+        self.frames_in_flight = max(1, int(frames_in_flight))
+        self._inflight: deque = deque()
         self._prev_state = None
         self._host_bvh: Optional[BvhHost] = None
         self._image = None       # cached host HWC copy (lazy)
         self._image_dev = None   # last accumulated frame, CHW, on device
+        self._sharded_step = None   # cached jitted sharded frame step
+        self._sharded_key = None
+        # Camera fingerprint memo: the dirty check fetches camera values to
+        # host only when the camera OBJECT changed (exactly the frames that
+        # reset accumulation anyway) — a per-frame np.asarray costs a ~25 ms
+        # device round-trip through the TPU tunnel.
+        self._fp_cam_obj = None
+        self._fp_cam_val = None
+        # Created eagerly so the FIRST reload() sees changes made since
+        # construction (the reference's first R keypress works,
+        # rvpt.cpp:444-468).
+        self._watcher = SourceWatcher()
 
     @property
     def image(self) -> Optional[np.ndarray]:
@@ -95,24 +120,46 @@ class Renderer:
         """Render one frame: dirty-check -> jitted sample+EMA -> stats.
         Returns the accumulated image (f32[3,H,W], device array; use the
         ``image`` property for a host HWC copy)."""
-        state = _state_fingerprint(self.camera, self.settings)
+        if self.camera is self._fp_cam_obj:
+            cam_fp = self._fp_cam_val
+        else:
+            cam_fp = _camera_fingerprint(self.camera)
+            self._fp_cam_obj, self._fp_cam_val = self.camera, cam_fp
+        state = cam_fp + (self.settings,)
         dirty = state != self._prev_state
         self._prev_state = state
 
         self.timer.frame_start()
         if self.mesh is not None:
-            from .parallel.sharded import render_frame_sharded
+            # ONE jitted step reused every frame (film donated) — building a
+            # fresh jax.jit wrapper per draw() re-traces each time.
+            key = (self.settings, self.film_cfg, self.mesh)
+            if self._sharded_key != key or self._sharded_step is None:
+                from .parallel.sharded import make_render_fn
 
-            self.film, image = jax.jit(
-                render_frame_sharded, static_argnames=("settings", "cfg", "mesh")
-            )(self.scene, self.camera, self.settings, self.film_cfg, self.film,
-              dirty, self.mesh)
+                self._sharded_step = make_render_fn(
+                    self.scene, self.camera, self.settings, self.film_cfg,
+                    self.mesh,
+                )
+                self._sharded_key = key
+            self.film, image = self._sharded_step(
+                self.scene, self.camera, self.film, dirty
+            )
         else:
             self.film, image = render_frame_jit(
                 self.scene, self.camera, self.settings, self.film_cfg,
                 self.film, dirty,
             )
-        image.block_until_ready()
+        # Frames in flight (rvpt.h:25): dispatch is async; block only on the
+        # frame before last, so up to frames_in_flight-1 device frames stay
+        # outstanding while the host prepares the next one.  The timer then
+        # measures steady-state throughput, like the reference's frame timer
+        # around its fence wait (rvpt.cpp:348,404).  The wait handle is a
+        # tiny DERIVED array (film.frame + 0): the film itself is donated
+        # into the next step, so its own buffers can't be blocked on later.
+        self._inflight.append(self.film.frame + jnp.uint32(0))
+        while len(self._inflight) >= self.frames_in_flight:
+            self._inflight.popleft().block_until_ready()
         self.timer.frame_stop()
         # The image stays ON DEVICE between frames — a per-frame host fetch
         # costs ~25 ms through the TPU tunnel (measured, 512^2 film) and the
@@ -121,6 +168,13 @@ class Renderer:
         self._image_dev = image
         self._image = None
         return image
+
+    def flush(self) -> None:
+        """Drain all in-flight frames (device sync)."""
+        while self._inflight:
+            self._inflight.popleft().block_until_ready()
+        if self._image_dev is not None:
+            self._image_dev.block_until_ready()
 
     @property
     def rays_per_frame(self) -> int:
@@ -136,13 +190,15 @@ class Renderer:
     # ------------------------------------------------------------- hot reload
     def reload(self) -> list[str]:
         """Source-watch re-jit — the analog of RVPT::reload_shaders
-        (rvpt.cpp:444-468)."""
-        from .utils.hot_reload import SourceWatcher
-
-        if not hasattr(self, "_watcher"):
-            self._watcher = SourceWatcher()
-            return []
-        return self._watcher.reload_if_changed()
+        (rvpt.cpp:444-468).  The watcher is created at construction, so the
+        first call already picks up edits made since then."""
+        dirty = self._watcher.reload_if_changed()
+        if dirty:
+            # The cached sharded step closes over (possibly stale) module
+            # functions; drop it so the next draw re-closes over fresh code.
+            self._sharded_step = None
+            self._sharded_key = None
+        return dirty
 
     # ------------------------------------------------------------ debug views
     def host_bvh(self) -> BvhHost:

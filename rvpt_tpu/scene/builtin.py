@@ -95,6 +95,47 @@ def mesh_demo(
     return attach_bvh(b.build()), cam
 
 
+def terrain_demo(n: int = 225, aspect: float = 1.0) -> tuple[Scene, Camera]:
+    """>=100k-triangle workload (n=225 -> 100,352 tris): a sinusoidal
+    heightfield under an area light, BVH-attached, served by the chunked
+    big-mesh kernel (ops.pathkernel.BigMeshTracer)."""
+    from .bvh import attach_bvh
+    from .obj_io import make_terrain
+
+    b = SceneBuilder()
+    ground = b.add_material(albedo=(0.55, 0.5, 0.4), kind=LAMBERT)
+    light = b.add_material(
+        albedo=(0.0, 0.0, 0.0), emission=(8.0, 8.0, 8.0), kind=LAMBERT
+    )
+    v, f = make_terrain(n=n)
+    b.add_mesh(v, f, ground)
+    b.add_quad(
+        (-1.5, 4.0, -1.5), (-1.5, 4.0, 1.5), (1.5, 4.0, 1.5), (1.5, 4.0, -1.5),
+        light,
+    )
+    cam = Camera.create(
+        translation=(0.0, 2.6, -4.2), rotation=(0.0, 30.0, 0.0),
+        fov=70.0, aspect=aspect,
+    )
+    return attach_bvh(b.build()), cam
+
+
+def rabbit(aspect: float = 2.0, use_bvh: bool = True) -> tuple["Scene", Camera]:
+    """THE reference demo scene (src/rvpt/main.cpp:96-107): models/rabbit.obj
+    (76 verts / 143 tris) as material 1, with material 0 = Lambert(1,1,1) +
+    emission(0.1,0.4,0.6) and material 1 = plain white Lambert, on the
+    reference's fixed 1024x512 film (aspect 2).  BVH-attached by default so
+    the fused kernel's culled mesh path serves it, like the reference's GPU
+    BVH traversal (assets/shaders/intersection.glsl:361-413)."""
+    from ..config import get_asset_path
+    from .bvh import attach_bvh
+    from .obj_io import load_obj
+
+    v, f = load_obj(get_asset_path("models/rabbit.obj"))
+    scene, cam = mesh_scene(v, f, aspect=aspect)
+    return (attach_bvh(scene) if use_bvh else scene), cam
+
+
 def mesh_scene(
     vertices: np.ndarray, faces: np.ndarray, aspect: float = 2.0
 ) -> tuple[Scene, Camera]:

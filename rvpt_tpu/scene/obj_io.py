@@ -110,3 +110,37 @@ def make_icosphere(subdiv: int = 2, radius: float = 1.0) -> tuple[np.ndarray, np
         (np.asarray(verts) * radius).astype(np.float32),
         np.asarray(f, np.int32),
     )
+
+
+def make_terrain(n: int = 225, size: float = 8.0, height: float = 1.0,
+                 seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Procedural heightfield mesh: (n-1)^2 * 2 triangles on an n x n grid.
+
+    The >=100k-triangle workload the reference's BVH traversal could take
+    (assets/shaders/intersection.glsl:361-463 walks arbitrary mesh sizes) —
+    n=225 gives 100,352 triangles.  Heights are a fixed sum of sinusoids
+    (deterministic per seed) so goldens and benchmarks are reproducible.
+    """
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(0.5, 2.5, size=(4, 2))
+    phases = rng.uniform(0, 2 * np.pi, size=4)
+    amps = rng.uniform(0.3, 1.0, size=4)
+    amps /= amps.sum()
+
+    axis = np.linspace(-size / 2, size / 2, n, dtype=np.float64)
+    X, Z = np.meshgrid(axis, axis, indexing="ij")
+    Y = np.zeros_like(X)
+    for (fx, fz), ph, a in zip(freqs, phases, amps):
+        Y += a * np.sin(fx * X + ph) * np.cos(fz * Z + ph * 0.7)
+    Y *= height
+
+    verts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3).astype(np.float32)
+    i = np.arange(n * n).reshape(n, n)
+    a = i[:-1, :-1].ravel()
+    b = i[1:, :-1].ravel()
+    c = i[:-1, 1:].ravel()
+    d = i[1:, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], axis=-1), np.stack([b, d, c], axis=-1)]
+    ).astype(np.int32)
+    return verts, faces

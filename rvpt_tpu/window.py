@@ -204,15 +204,18 @@ class CameraController:
 class Viewer:
     """The application loop (main.cpp:139-155) over a ``Renderer``.
 
-    ``backend`` presents frames: "matplotlib" opens a live window wired to
-    the InputState (close box → set_close); "none" runs headless; a callable
-    receives the HxWx3 float image per frame.  ``run(max_frames=...)`` bounds
-    the loop for scripted/headless use.
+    ``backend`` presents frames: "pygame" opens a real OS window with the
+    reference's cursor lock / mouse capture (present.PygamePresenter;
+    window.cpp:260-269); "matplotlib" opens a live plot window wired to the
+    InputState (close box → set_close, no cursor lock); "none" runs headless;
+    a callable receives the HxWx3 float image per frame.
+    ``run(max_frames=...)`` bounds the loop for scripted/headless use.
     """
 
     def __init__(self, renderer, backend="none",
                  on_frame: Optional[Callable] = None,
-                 clamp_vertical: bool = False) -> None:
+                 clamp_vertical: bool = False,
+                 sdl_driver: Optional[str] = None) -> None:
         self.renderer = renderer
         self.input = InputState()
         self.controller = CameraController(clamp_vertical=clamp_vertical)
@@ -223,7 +226,15 @@ class Viewer:
             self.on_frame = backend
         self._fig = None
         self._im = None
-        if backend == "matplotlib":
+        self.presenter = None
+        if backend == "pygame":
+            from .present import PygamePresenter
+
+            self.presenter = PygamePresenter(
+                self.input, renderer.film_cfg.width,
+                renderer.film_cfg.height, driver=sdl_driver,
+            )
+        elif backend == "matplotlib":
             self._init_matplotlib()
         # Mouse wiring (main.cpp:117-137): look while locked; left-release
         # toggles the lock off, next left-release re-locks.
@@ -273,6 +284,8 @@ class Viewer:
     def step(self, dt: Optional[float] = None) -> None:
         """One loop iteration: poll → hotkeys → camera → draw → present."""
         inp = self.input
+        if self.presenter is not None:
+            self.presenter.pump()  # enqueue raw SDL events + sync cursor lock
         inp.poll_events()
         if inp.is_key_down("escape"):
             inp.set_close()
@@ -282,6 +295,8 @@ class Viewer:
             self.debug_overlay = not self.debug_overlay
         if inp.is_key_up("enter"):
             inp.set_mouse_window_lock(not inp.mouse_locked)
+        if self.presenter is not None:
+            self.presenter.sync_lock()  # hotkeys/clicks may have toggled it
 
         if dt is None:
             dt = self.renderer.timer.since_last_frame()
@@ -294,6 +309,8 @@ class Viewer:
             img = self.renderer.debug_view("triangles")
         if self.on_frame is not None and img is not None:
             self.on_frame(img)
+        if self.presenter is not None and img is not None:
+            self.presenter.present(img)
         if self._im is not None and img is not None:
             self._im.set_data(img.clip(0.0, 1.0))
             self._fig.canvas.draw_idle()

@@ -19,8 +19,14 @@ import numpy as np
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 # name -> (scene, integrator, size, frames, bounces)
+# size: int (square) or (width, height).  Scenes: sphere_plane, cornell, plus
+# the mesh scenes "rabbit" (the reference's demo scene, main.cpp:96-107, at
+# its native 2:1 aspect) and "mesh:N" (BVH icosphere demo) — these pin the
+# loaded-OBJ + BVH path the analytic goldens can't reach.
 CASES = {
     "sphere_plane_kajiya": ("sphere_plane", "kajiya", 64, 4, 4),
+    "rabbit_kajiya": ("rabbit", "kajiya", (256, 128), 2, 8),
+    "mesh2_kajiya": ("mesh:2", "kajiya", (128, 128), 2, 8),
     "cornell_kajiya": ("cornell", "kajiya", 64, 4, 4),
     "cornell_normal": ("cornell", "normal", 64, 1, 1),
     "cornell_color": ("cornell", "color", 64, 1, 1),
@@ -53,8 +59,18 @@ def render_case(name: str) -> np.ndarray:
     cam_mode = "pinhole"
     if ":" in integ:
         integ, cam_mode = integ.split(":")
-    cfg = FilmConfig(width=size, height=size)
-    scene, cam = getattr(builtin, {"sphere_plane": "sphere_plane", "cornell": "cornell_box"}[scene_name])(aspect=1.0)
+    w, h = size if isinstance(size, tuple) else (size, size)
+    cfg = FilmConfig(width=w, height=h)
+    if scene_name == "rabbit":
+        scene, cam = builtin.rabbit(aspect=cfg.aspect)
+    elif scene_name.startswith("mesh:"):
+        scene, cam = builtin.mesh_demo(
+            subdiv=int(scene_name.split(":")[1]), aspect=cfg.aspect
+        )
+    else:
+        scene, cam = getattr(builtin, {
+            "sphere_plane": "sphere_plane", "cornell": "cornell_box",
+        }[scene_name])(aspect=cfg.aspect)
     cam = dataclasses.replace(cam, mode=CAMERA_MODE_NAMES[cam_mode])
     mode = INTEGRATOR_NAMES[integ]
     st = RenderSettings(

@@ -393,3 +393,46 @@ def test_hart_kernel_matches_xla(scene_name):
     got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
     close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
     assert close.mean() > 0.99, f"only {close.mean():.4f} of pixels match"
+
+
+def test_bigmesh_sorted_matches_unsorted(monkeypatch):
+    """The wavefront ray re-sort between bounces (octant+Morton key) must not
+    change the image: per-lane winner selection is invariant to tile
+    composition (any cluster a lane's slab test passes is always walked),
+    and RNG/shading key on the pixel id riding the sort."""
+    from rvpt_tpu.ops import pathkernel as pk
+
+    monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+
+    rng_np = np.random.default_rng(17)
+    n_tri = 1500
+    c = rng_np.uniform(-3, 3, size=(n_tri, 3)).astype(np.float32)
+    c[:, 2] += 5.0
+    e1 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    e2 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    scene = _bvh_mesh_scene(c, c + e1, c + e2)
+
+    cfg = FilmConfig(width=24, height=16)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(5)
+
+    bt = pk.BigMeshTracer(scene)
+    kw = dict(salt_base=16, max_bounces=3, interpret=True)
+    plain = bt.trace(pixel, ray.origin, ray.direction, frame,
+                     sort_rays=False, **kw)
+    srt = bt.trace(pixel, ray.origin, ray.direction, frame,
+                   sort_rays=True, **kw)
+    for a, b in zip(plain, srt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # hit records come back in caller order under sorting too
+    (_, (fams_p, idxs_p)) = bt.trace(pixel, ray.origin, ray.direction, frame,
+                                     sort_rays=False, collect_hits=True, **kw)
+    (_, (fams_s, idxs_s)) = bt.trace(pixel, ray.origin, ray.direction, frame,
+                                     sort_rays=True, collect_hits=True, **kw)
+    np.testing.assert_array_equal(np.asarray(fams_p), np.asarray(fams_s))
+    np.testing.assert_array_equal(np.asarray(idxs_p), np.asarray(idxs_s))

@@ -31,6 +31,84 @@ def test_draw_accumulates_and_dirty_resets():
     assert int(r.film.frame) == 1
 
 
+def test_frames_in_flight_pipelining():
+    """draw() keeps <= frames_in_flight-1 frames outstanding (rvpt.h:25) and
+    the pipelined result equals the fully synchronous one."""
+    r = make_renderer()
+    assert r.frames_in_flight == 2
+    for _ in range(4):
+        r.draw()
+        assert len(r._inflight) <= r.frames_in_flight - 1
+    r.flush()
+    assert not r._inflight
+    assert int(r.film.frame) == 4
+
+    r2 = make_renderer(frames_in_flight=1)
+    for _ in range(4):
+        r2.draw()
+    assert len(r2._inflight) == 0  # synchronous mode blocks every frame
+    np.testing.assert_array_equal(
+        np.asarray(r.film.accum), np.asarray(r2.film.accum)
+    )
+
+
+def test_steady_state_no_device_to_host_transfer():
+    """The dirty check must not fetch camera arrays to host every frame
+    (VERDICT weak #6): steady-state draw() runs with d2h transfers
+    disallowed."""
+    import jax
+
+    r = make_renderer()
+    r.draw()
+    r.draw()  # warm: compile + fingerprint memo
+    with jax.transfer_guard_device_to_host("disallow"):
+        r.draw()
+    r.flush()
+    assert int(r.film.frame) == 3
+
+
+def test_sharded_draw_reuses_one_compilation():
+    """The mesh-attached Renderer must not rebuild its jitted step per frame
+    (VERDICT weak #1): one cached compilation serves every steady draw."""
+    import jax
+
+    from rvpt_tpu.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = mesh_mod.make_mesh(8, 1)
+    r = make_renderer(mesh=mesh)
+    r.draw()
+    step = r._sharded_step
+    assert step is not None
+    r.draw()  # warm: the steady-state film sharding is established
+    warm = step._cache_size()
+    for _ in range(3):
+        r.draw()
+    r.flush()
+    assert r._sharded_step is step  # same jitted closure, not rebuilt
+    assert step._cache_size() == warm  # no recompile across steady draws
+    assert int(r.film.frame) == 5
+
+
+def test_reload_first_press_detects_changes(monkeypatch):
+    """reload() must act on the FIRST call (VERDICT weak #4): the watcher
+    exists from construction, so edits since __init__ are seen immediately."""
+    r = make_renderer()
+    assert r._watcher is not None
+    calls = []
+
+    def fake_reload(clear_caches=True):
+        calls.append(1)
+        return ["rvpt_tpu.fake_module"]
+
+    monkeypatch.setattr(r._watcher, "reload_if_changed", fake_reload)
+    assert r.reload() == ["rvpt_tpu.fake_module"]
+    assert calls == [1]
+
+
 def test_stats():
     r = make_renderer()
     r.draw()
