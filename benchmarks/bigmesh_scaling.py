@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def make_fn(scene, cam, cfg, bounces, sort):
+def make_fn(scene, cam, cfg, bounces, sort, cull=True):
     from rvpt_tpu.render import _block_grid, jittered_camera_rays
     from rvpt_tpu.ops.pathkernel import BigMeshTracer
 
@@ -39,6 +39,7 @@ def make_fn(scene, cam, cfg, bounces, sort):
         r, g, b = bt.trace(
             pixel, ray.origin, ray.direction, frame,
             salt_base=jnp.uint32(16), max_bounces=bounces, sort_rays=sort,
+            tile_cull=cull,
         )
         return r.sum() + g.sum() + b.sum()
 
@@ -77,11 +78,14 @@ def main():
 
     results = {}
     for name, scene, cam in scenes:
-        for sort in ((False, True) if name == "ico5" else (True, False)):
-            iters = 4 if sort else 2
-            fn = make_fn(scene, cam, cfg, bounces, sort)
+        combos = ([(True, True), (True, False)] if name == "ico5"
+                  else [(True, True)])
+        for sort, cull in combos:
+            iters = 4 if (sort and cull) else 2
+            fn = make_fn(scene, cam, cfg, bounces, sort, cull)
             dt, compile_s = bench(fn, iters)
-            tag = f"{name}[{scene.num_triangles}]{'+sort' if sort else ''}"
+            tag = (f"{name}[{scene.num_triangles}]"
+                   f"{'+sort' if sort else ''}{'+cull' if cull else ''}")
             results[tag] = dt
             print(
                 f"{tag:28s} {dt*1e3:9.1f} ms/frame "

@@ -1639,7 +1639,10 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     T(1024), so every stride is a 1024-multiple): 17 triangle tables
     [n_chunks * BIG_CHUNK_T], then 6 supergroup + 6 cluster bound tables
     [n_chunks * BIG_BOUND_PAD] (entries beyond BIG_CHUNK_SUP/BIG_CHUNK_CLU
-    are inverted-box padding).  Returns (tables, meta).
+    are inverted-box padding).  Returns (tables, meta, (sup_lo, sup_hi))
+    where sup_lo/sup_hi [n_chunks, BIG_CHUNK_SUP, 3] are the unpadded
+    supergroup boxes used by the XLA-side per-tile chunk cull
+    (_bigmesh_chunk_worklist).
     """
     t = scene.num_triangles
     if t < 1:
@@ -1683,22 +1686,28 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
         a[:, :, k].reshape(-1) for a in (sb0, sb1) for k in range(3)
     ) + tuple(a[:, :, k].reshape(-1) for a in (cb0c, cb1c) for k in range(3))
     meta = dict(n_chunks=n_chunks, num_tri=t)
-    return tri_tabs + bound_tabs, meta
+    sup_boxes = (sb0[:, :BIG_CHUNK_SUP], sb1[:, :BIG_CHUNK_SUP])
+    return tri_tabs + bound_tabs, meta, sup_boxes
 
 
 def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
-    """One bounce of the big-mesh path.  Grid (tiles, chunks), chunks inner:
-    chunk 0 seeds the winner with the dense sphere/plane search, every chunk
-    folds its clusters through the per-lane culled walk (_culled_tris with a
-    global triangle-index base), the last chunk shades and writes the next
-    bounce state.  The winner carry lives in VMEM scratch across chunk
-    steps.  With ``collect``, two extra outputs carry this bounce's hit
-    records (family, global index; -1 where inactive/miss) for the
-    replay-from-hits backward (ops.fast_grad)."""
+    """One bounce of the big-mesh path.  Grid (tiles, chunk slots), slots
+    inner: slot 0 seeds the winner with the dense sphere/plane search, each
+    slot below the tile's work-list count folds ONE listed chunk's clusters
+    through the per-lane culled walk (_culled_tris with a global
+    triangle-index base), the last slot shades and writes the next bounce
+    state.  The chunk walked at slot j is wl[tile, j] (scalar-prefetch ref;
+    _bigmesh_chunk_worklist) — slots at/beyond the count repeat the last
+    listed chunk id, so the Pallas pipeline elides their table DMAs (block
+    index unchanged) and ``pl.when`` skips their triangle math: per-tile
+    work is proportional to LISTED chunks, not mesh size.  The winner carry
+    lives in VMEM scratch across slot steps.  With ``collect``, two extra
+    outputs carry this bounce's hit records (family, global index; -1 where
+    inactive/miss) for the replay-from-hits backward (ops.fast_grad)."""
     n_chunks = meta["n_chunks"]
     chunk_meta = dict(meta, n_clu=BIG_CHUNK_CLU, n_sup=BIG_CHUNK_SUP)
 
-    def kernel(ctl_ref, *refs):
+    def kernel(wl_ref, cnt_ref, ctl_ref, *refs):
         tri = dict(zip(TRI_FIELDS, refs[0:17]))       # dummy (has_tri False)
         sph = dict(zip(SPH_FIELDS, refs[17:22]))
         pln = dict(zip(PLN_FIELDS, refs[22:27]))
@@ -1718,6 +1727,7 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
         winf, wini, hitlist = (refs[scratch_at], refs[scratch_at + 1],
                                refs[scratch_at + 2])
 
+        t = pl.program_id(0)
         c = pl.program_id(1)
         frame = ctl_ref[0]
         salt = ctl_ref[1]
@@ -1735,20 +1745,24 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
             wini[0] = carry0[5]
             wini[1] = carry0[6]
 
-        carry = (winf[0], winf[1], winf[2], winf[3], winf[4],
-                 wini[0], wini[1])
-        cull_chunk = chunk_refs
-        carry, _ = _culled_tris(
-            cull_chunk, chunk_meta, ox, oy, oz, dx, dy, dz, mint,
-            active, (hitlist,), carry, tri_base=c * BIG_CHUNK_T,
-        )
-        for j in range(5):
-            winf[j] = carry[j]
-        wini[0] = carry[5]
-        wini[1] = carry[6]
+        @pl.when(c < cnt_ref[t])
+        def _walk():
+            carry = (winf[0], winf[1], winf[2], winf[3], winf[4],
+                     wini[0], wini[1])
+            carry, _ = _culled_tris(
+                chunk_refs, chunk_meta, ox, oy, oz, dx, dy, dz, mint,
+                active, (hitlist,), carry,
+                tri_base=wl_ref[t, c] * BIG_CHUNK_T,
+            )
+            for j in range(5):
+                winf[j] = carry[j]
+            wini[0] = carry[5]
+            wini[1] = carry[6]
 
         @pl.when(c == n_chunks - 1)
         def _finish():
+            carry = (winf[0], winf[1], winf[2], winf[3], winf[4],
+                     wini[0], wini[1])
             state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
                      rr, rg, rb, active)
             if collect:
@@ -1773,7 +1787,7 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
 
 @functools.partial(jax.jit, static_argnames=(
     "meta_key", "mint", "style", "is_last", "interpret", "collect"))
-def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state,
+def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
                   meta_key, mint, style, is_last, interpret, collect=False):
     meta = dict(meta_key)
     grid = pix.shape[0]
@@ -1782,15 +1796,17 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state,
                                collect=collect)
 
     def tab_spec(v):
-        return pl.BlockSpec(v.shape, lambda t, c: (0, 0, 0),
+        return pl.BlockSpec(v.shape, lambda t, c, wl_, cnt_: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def chunk_spec(v):
         stride = v.shape[0] // n_chunks
-        return pl.BlockSpec((stride,), lambda t, c: (c,),
+        # The chunk streamed at slot (t, c) is wl[t, c]; repeated trailing
+        # ids make the pipeline skip the copy (same block as previous step).
+        return pl.BlockSpec((stride,), lambda t, c, wl_, cnt_: (wl_[t, c],),
                             memory_space=pltpu.SMEM)
 
-    row = pl.BlockSpec((1, S, L), lambda t, c: (t, 0, 0),
+    row = pl.BlockSpec((1, S, L), lambda t, c, wl_, cnt_: (t, 0, 0),
                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [tab_spec(v) for v in tables]
@@ -1805,16 +1821,20 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state,
         n_out = 18
     ctl = jnp.stack([jnp.asarray(frame, jnp.uint32),
                      jnp.asarray(salt, jnp.uint32)])
-    return pl.pallas_call(
-        kern, grid=(grid, n_chunks),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid, n_chunks),
         in_specs=in_specs, out_specs=tuple([row] * n_out),
-        out_shape=tuple(out_shapes), interpret=interpret,
         scratch_shapes=[
             pltpu.VMEM((5, S, L), jnp.float32),   # winner t/normal/mat
             pltpu.VMEM((2, S, L), jnp.int32),     # winner fam/idx
             pltpu.SMEM((BIG_CHUNK_CLU,), jnp.int32),
         ],
-    )(ctl, *tables, *chunk_tables, pix, *state)
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=tuple(out_shapes), interpret=interpret,
+    )(wl, cnt, ctl, *tables, *chunk_tables, pix, *state)
 
 
 def _morton7(q):
@@ -1858,6 +1878,77 @@ def _bigmesh_sort_key(state, lo, inv_ext):
     return jnp.where(live, (octant << 21) | m, _DEAD_KEY)
 
 
+def _bigmesh_chunk_worklist(state, sup_lo, sup_hi, mint):
+    """Per-tile chunk work lists for the big-mesh launch.
+
+    Any-lane slab tests of each tile's live rays against every chunk's
+    supergroup AABBs — the SAME slab math as the kernel's in-chunk
+    supergroup walk (_culled_tris.slab), so a chunk skipped here is exactly
+    one whose in-kernel walk would have listed zero clusters for this tile:
+    tile-culled and full-walk images are bit-identical.  This is the third
+    cull level (tile→chunk here; supergroup→cluster in-kernel) that makes
+    big-mesh frame time scale with the chunks a tile's ray bundle actually
+    touches instead of with mesh size; the between-bounce wavefront sort
+    (_bigmesh_sort_key) is what keeps those bundles compact after Lambert
+    fan-out.
+
+    Returns (wl i32[grid, n_chunks], cnt i32[grid]): wl[:, :cnt] lists hit
+    chunk ids ascending (the full walk's visit order), and slots at/beyond
+    cnt repeat the last listed id so their table DMAs are elided (block
+    index unchanged between consecutive grid steps).  Tiles with no live
+    rays (or no chunk overlap) get cnt 0.
+    """
+    ox, oy, oz, dx, dy, dz = state[:6]
+    live = state[15] > 0.0
+    n_chunks = sup_lo.shape[0]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < _DENOM_EPS, _DENOM_EPS, c)
+
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+
+    def one_chunk(boxes):
+        lo, hi = boxes  # [n_sup, 3]
+        any_hit = jnp.zeros(ox.shape[0], bool)
+        for s in range(lo.shape[0]):
+            fx0 = (lo[s, 0] - ox) * ivx
+            fx1 = (hi[s, 0] - ox) * ivx
+            fy0 = (lo[s, 1] - oy) * ivy
+            fy1 = (hi[s, 1] - oy) * ivy
+            fz0 = (lo[s, 2] - oz) * ivz
+            fz1 = (hi[s, 2] - oz) * ivz
+            t0 = jnp.maximum(
+                jnp.maximum(jnp.minimum(fx0, fx1), jnp.minimum(fy0, fy1)),
+                jnp.maximum(jnp.minimum(fz0, fz1), mint),
+            )
+            t1 = jnp.minimum(
+                jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
+                jnp.maximum(fz0, fz1),
+            )
+            ok = (t1 >= t0) & live
+            any_hit = any_hit | jnp.any(ok, axis=(1, 2))
+        return any_hit
+
+    # Sequential over chunks: each step is one fused elementwise+reduce pass
+    # over the ray state ([grid, S, L] × 7 reads); a single broadcast over
+    # all chunks would ask XLA to fuse a [n_chunks·n_sup, grid, S, L]
+    # intermediate away — the scan keeps peak memory flat by construction.
+    mask = jax.lax.map(one_chunk, (sup_lo, sup_hi)).T    # [grid, n_chunks]
+    ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+    cnt = mask.sum(axis=1, dtype=jnp.int32)
+    wl = jax.lax.sort(jnp.where(mask, ids, jnp.int32(n_chunks)), dimension=1)
+    last = jnp.max(jnp.where(mask, ids, -1), axis=1)
+    wl = jnp.where(wl >= n_chunks, jnp.maximum(last, 0)[:, None], wl)
+    return wl, cnt
+
+
+def _bigmesh_full_worklist(grid, n_chunks):
+    """The cull-off work list: every chunk, every tile (the pre-cull walk)."""
+    wl = jnp.broadcast_to(
+        jnp.arange(n_chunks, dtype=jnp.int32)[None], (grid, n_chunks))
+    return wl, jnp.full((grid,), n_chunks, jnp.int32)
+
+
 class BigMeshTracer:
     """Whole-path tracer for meshes beyond CULL_MAX_TRIS.
 
@@ -1883,7 +1974,7 @@ class BigMeshTracer:
         self.scene = scene
         self.mint = float(mint)
         self.tables, self.meta = pack_fwd(scene, culled=True)
-        self.chunk_tables, cm = pack_cull_chunked(scene)
+        self.chunk_tables, cm, self.sup_boxes = pack_cull_chunked(scene)
         self.meta.update(cm)
         self.meta_key = tuple(sorted(self.meta.items()))
         # Scene box for origin quantization (bounce origins sit on surfaces;
@@ -1899,14 +1990,21 @@ class BigMeshTracer:
 
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
               style="reference", interpret=False, collect_hits=False,
-              sort_rays=True):
+              sort_rays=True, tile_cull=True):
         """Trace full paths -> (r, g, b) flat [N] radiance.
 
         With ``collect_hits`` also returns (fams, idxs) i32[B, N] per-bounce
         hit records in the replay-from-hits layout (ops.fast_grad); hit
         records are emitted in the caller's ray order regardless of
         ``sort_rays`` (each bounce's records are written before the next
-        re-sort and unsorted with the same slot keys)."""
+        re-sort and unsorted with the same slot keys).
+
+        ``tile_cull`` routes each bounce through per-tile chunk work lists
+        (_bigmesh_chunk_worklist): only the chunks a tile's ray bundle can
+        touch are streamed and walked, making frame time track the touched
+        set instead of mesh size.  Bit-identical to the full walk (the cull
+        is exactly the kernel's own supergroup listing test hoisted to tile
+        granularity)."""
         n = pixel.shape[0]
         pix = _to_tiles(pixel)
         if isinstance(origin, tuple):
@@ -1928,10 +2026,16 @@ class BigMeshTracer:
         # film (and per-bounce hit records) can be restored at the end.
         slot = jnp.arange(total, dtype=jnp.int32).reshape(shape)
         fams, idxs = [], []
+        n_chunks = self.meta["n_chunks"]
         for b in range(nb):
+            if tile_cull:
+                wl, cnt = _bigmesh_chunk_worklist(
+                    state, *self.sup_boxes, self.mint)
+            else:
+                wl, cnt = _bigmesh_full_worklist(pix.shape[0], n_chunks)
             outs = _bigmesh_call(
                 frame, jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(b * 4),
-                self.tables, self.chunk_tables, pix, state,
+                self.tables, self.chunk_tables, pix, state, wl, cnt,
                 self.meta_key, self.mint, style,
                 b == nb - 1, interpret, collect_hits,
             )

@@ -395,6 +395,63 @@ def test_hart_kernel_matches_xla(scene_name):
     assert close.mean() > 0.99, f"only {close.mean():.4f} of pixels match"
 
 
+def test_bigmesh_tile_cull_matches_full_walk(monkeypatch):
+    """Per-tile chunk work lists (_bigmesh_chunk_worklist) are exactly the
+    kernel's own supergroup listing test hoisted to tile granularity, so the
+    tile-culled walk and the full chunk stream must produce bit-identical
+    images and hit records."""
+    from rvpt_tpu.ops import pathkernel as pk
+
+    monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+
+    rng_np = np.random.default_rng(23)
+    n_tri = 2100  # 3 chunks at BIG_CHUNK_T=1024
+    c = rng_np.uniform(-3, 3, size=(n_tri, 3)).astype(np.float32)
+    c[:, 2] += 5.0
+    e1 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    e2 = rng_np.normal(0, 0.4, size=(n_tri, 3)).astype(np.float32)
+    scene = _bvh_mesh_scene(c, c + e1, c + e2)
+
+    cfg = FilmConfig(width=24, height=16)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    pixel, ray = _rays(cfg, cam)
+    frame = jnp.uint32(5)
+
+    bt = pk.BigMeshTracer(scene)
+    assert bt.meta["n_chunks"] >= 3
+
+    # The work list itself: listed ids ascending, trailing slots repeat the
+    # last listed id (DMA elision), dead tiles count zero.
+    state = tuple(
+        pk._to_tiles(v)
+        for v in (ray.origin[:, 0], ray.origin[:, 1], ray.origin[:, 2],
+                  ray.direction[:, 0], ray.direction[:, 1],
+                  ray.direction[:, 2])
+    ) + (None,) * 9 + (pk._to_tiles(jnp.ones(pixel.shape[0])),)
+    wl, cnt = pk._bigmesh_chunk_worklist(state, *bt.sup_boxes, 0.0)
+    wl, cnt = np.asarray(wl), np.asarray(cnt)
+    assert wl.shape == (state[0].shape[0], bt.meta["n_chunks"])
+    for ti in range(wl.shape[0]):
+        k = cnt[ti]
+        assert (np.diff(wl[ti, :k]) > 0).all()
+        if k:
+            assert (wl[ti, k:] == wl[ti, k - 1]).all()
+
+    for sort in (False, True):
+        kw = dict(salt_base=16, max_bounces=3, interpret=True,
+                  sort_rays=sort, collect_hits=True)
+        full, (fams_f, idxs_f) = bt.trace(
+            pixel, ray.origin, ray.direction, frame, tile_cull=False, **kw)
+        culled, (fams_c, idxs_c) = bt.trace(
+            pixel, ray.origin, ray.direction, frame, tile_cull=True, **kw)
+        for a, b in zip(full, culled):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(fams_f), np.asarray(fams_c))
+        np.testing.assert_array_equal(np.asarray(idxs_f), np.asarray(idxs_c))
+
+
 def test_bigmesh_sorted_matches_unsorted(monkeypatch):
     """The wavefront ray re-sort between bounces (octant+Morton key) must not
     change the image: per-lane winner selection is invariant to tile
