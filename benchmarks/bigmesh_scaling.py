@@ -65,6 +65,16 @@ def main():
 
     compile_cache.enable()
     quick = "--quick" in sys.argv
+    for a in sys.argv[1:]:
+        # A/B lever: smaller clusters list tighter (fewer triangles walked)
+        # at the cost of more listing tests; see BASELINE.md.
+        if a.startswith("--cullk="):
+            from rvpt_tpu.ops import pathkernel as pk
+
+            pk.CULL_K = int(a.split("=")[1])
+            pk.BIG_CHUNK_CLU = pk.BIG_CHUNK_T // pk.CULL_K
+            pk.BIG_CHUNK_SUP = pk.BIG_CHUNK_CLU // pk.CULL_G
+            print(f"CULL_K={pk.CULL_K}")
     cfg = FilmConfig(width=1920, height=1080)
     bounces = 8
     rays = cfg.num_pixels * bounces

@@ -1399,6 +1399,20 @@ def _to_tiles(x, fill=0.0):
     return x.reshape(-1, S, L)
 
 
+# Measured NEGATIVE result (reverted; kept for the record): a per-lane-group
+# cluster walk — re-laying each tile so every [8,128] vreg holds 1024
+# sort-adjacent rays, then walking each vreg's own (much smaller) cluster
+# union.  The probe (benchmarks/bigmesh_cull_probe.py) shows per-group
+# unions 1.9-3.1x smaller than the tile union, but the kernel measured
+# SLOWER both ways it was built (per-group lists: 294 vs 226 ms at the
+# heavy bounce; tile-list + per-group still-checks: same): the VPU triangle
+# math it saves is cheaper than the scalar-core loop/branch overhead it
+# adds (8x the cluster-visit control flow, 17 SMEM scalar loads per
+# triangle no longer amortized over 8 vregs).  Fat [8,1024] tiles keep the
+# scalar core off the critical path — the same lesson as round 1's
+# [1,1024]-row experiment.
+
+
 def _from_tiles(x, n):
     return x.reshape(-1)[:n]
 
@@ -1687,7 +1701,30 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     ) + tuple(a[:, :, k].reshape(-1) for a in (cb0c, cb1c) for k in range(3))
     meta = dict(n_chunks=n_chunks, num_tri=t)
     sup_boxes = (sb0[:, :BIG_CHUNK_SUP], sb1[:, :BIG_CHUNK_SUP])
-    return tri_tabs + bound_tabs, meta, sup_boxes
+    # ONE flat table: per chunk, 17 triangle strides then 12 bound strides,
+    # contiguous — a single SMEM operand/DMA per chunk step instead of 29
+    # (the kernel re-evaluates every operand's index map and copy-elision
+    # check at every grid step; with tiles x chunk-slot grids that fixed
+    # cost is a measurable slice of the no-walk floor).
+    packed = jnp.concatenate(
+        [v.reshape(n_chunks, -1) for v in tri_tabs + bound_tabs], axis=1
+    ).reshape(-1)
+    return (packed,), meta, sup_boxes
+
+
+class _OffsetView:
+    """Scalar-indexed window into the packed chunk table (SMEM ref): view
+    k's element i is the packed ref's element base_k + i.  Lets the culled
+    walk keep its 29-table indexing while the pipeline moves ONE operand."""
+
+    __slots__ = ("ref", "base")
+
+    def __init__(self, ref, base):
+        self.ref = ref
+        self.base = base
+
+    def __getitem__(self, i):
+        return self.ref[self.base + i]
 
 
 def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
@@ -1715,15 +1752,21 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
         for d in (sph, pln, mat):
             for k in d:
                 d[k] = d[k][...]
-        chunk_refs = refs[35:64]                      # 17 tri + 12 bounds
-        pix_ref = refs[64]
-        state_refs = refs[65:81]
-        outs = refs[81:97]
+        # Packed chunk table: 17 triangle strides then 12 bound strides.
+        chunk_refs = tuple(
+            _OffsetView(refs[35], k * BIG_CHUNK_T) for k in range(17)
+        ) + tuple(
+            _OffsetView(refs[35], 17 * BIG_CHUNK_T + j * BIG_BOUND_PAD)
+            for j in range(12)
+        )
+        pix_ref = refs[36]
+        state_refs = refs[37:53]
+        outs = refs[53:69]
         rec_outs = ()
-        scratch_at = 97
+        scratch_at = 69
         if collect:
-            rec_outs = refs[97:99]
-            scratch_at = 99
+            rec_outs = refs[69:71]
+            scratch_at = 71
         winf, wini, hitlist = (refs[scratch_at], refs[scratch_at + 1],
                                refs[scratch_at + 2])
 
@@ -1828,7 +1871,7 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
         scratch_shapes=[
             pltpu.VMEM((5, S, L), jnp.float32),   # winner t/normal/mat
             pltpu.VMEM((2, S, L), jnp.int32),     # winner fam/idx
-            pltpu.SMEM((BIG_CHUNK_CLU,), jnp.int32),
+            pltpu.SMEM((BIG_CHUNK_CLU,), jnp.int32),  # tile cluster list
         ],
     )
     return pl.pallas_call(
@@ -1907,8 +1950,7 @@ def _bigmesh_chunk_worklist(state, sup_lo, sup_hi, mint):
 
     ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
 
-    def one_chunk(boxes):
-        lo, hi = boxes  # [n_sup, 3]
+    def one_chunk(lo, hi):
         any_hit = jnp.zeros(ox.shape[0], bool)
         for s in range(lo.shape[0]):
             fx0 = (lo[s, 0] - ox) * ivx
@@ -1929,11 +1971,13 @@ def _bigmesh_chunk_worklist(state, sup_lo, sup_hi, mint):
             any_hit = any_hit | jnp.any(ok, axis=(1, 2))
         return any_hit
 
-    # Sequential over chunks: each step is one fused elementwise+reduce pass
-    # over the ray state ([grid, S, L] × 7 reads); a single broadcast over
-    # all chunks would ask XLA to fuse a [n_chunks·n_sup, grid, S, L]
-    # intermediate away — the scan keeps peak memory flat by construction.
-    mask = jax.lax.map(one_chunk, (sup_lo, sup_hi)).T    # [grid, n_chunks]
+    # Unrolled over chunks (n_chunks is static and small): XLA fuses all
+    # n_chunks*n_sup box tests into ONE elementwise+reduce pass over the
+    # ray state, where a lax.map paid a full state re-read per chunk
+    # (measured 3.1 ms/bounce at 1080p x 6 chunks; ~0.6 ms unrolled).
+    mask = jnp.stack(
+        [one_chunk(sup_lo[ci], sup_hi[ci]) for ci in range(n_chunks)],
+        axis=1)                                          # [grid, n_chunks]
     ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
     cnt = mask.sum(axis=1, dtype=jnp.int32)
     wl = jax.lax.sort(jnp.where(mask, ids, jnp.int32(n_chunks)), dimension=1)
@@ -1990,7 +2034,7 @@ class BigMeshTracer:
 
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
               style="reference", interpret=False, collect_hits=False,
-              sort_rays=True, tile_cull=True):
+              sort_rays=True, tile_cull=True, sort_bounces=3):
         """Trace full paths -> (r, g, b) flat [N] radiance.
 
         With ``collect_hits`` also returns (fams, idxs) i32[B, N] per-bounce
@@ -1998,6 +2042,11 @@ class BigMeshTracer:
         records are emitted in the caller's ray order regardless of
         ``sort_rays`` (each bounce's records are written before the next
         re-sort and unsorted with the same slot keys).
+
+        ``sort_bounces`` caps how many between-bounce re-sorts run (the
+        first N transitions); the sort network costs 20-30 ms at 1080p per
+        bounce, and past the first few transitions the surviving rays are
+        already packed (most tiles fully idle) so re-sorting stops paying.
 
         ``tile_cull`` routes each bounce through per-tile chunk work lists
         (_bigmesh_chunk_worklist): only the chunks a tile's ray bundle can
@@ -2025,8 +2074,16 @@ class BigMeshTracer:
         # slot = position in the caller's ray order; rides the sorts so the
         # film (and per-bounce hit records) can be restored at the end.
         slot = jnp.arange(total, dtype=jnp.int32).reshape(shape)
+
+        def by_slot(slot, vals):
+            flat = jax.lax.sort(
+                [slot.reshape(-1)] + [v.reshape(-1) for v in vals],
+                num_keys=1)
+            return [v.reshape(shape) for v in flat[1:]]
+
         fams, idxs = [], []
         n_chunks = self.meta["n_chunks"]
+        sorted_yet = False
         for b in range(nb):
             if tile_cull:
                 wl, cnt = _bigmesh_chunk_worklist(
@@ -2041,16 +2098,18 @@ class BigMeshTracer:
             )
             state = outs[:16]
             if collect_hits:
-                if sort_rays and b > 0:
-                    flat = jax.lax.sort(
-                        [slot.reshape(-1), outs[16].reshape(-1),
-                         outs[17].reshape(-1)], num_keys=1)
-                    fam_b, idx_b = flat[1].reshape(shape), flat[2].reshape(shape)
+                if sorted_yet:
+                    fam_b, idx_b = by_slot(slot, (outs[16], outs[17]))
                 else:
                     fam_b, idx_b = outs[16], outs[17]
                 fams.append(_from_tiles(fam_b, n))
                 idxs.append(_from_tiles(idx_b, n))
-            if sort_rays and b < nb - 1:
+            # The variadic sort moves all 19 carries through the sorting
+            # network — 20-30 ms at 1080p — so it runs only while it still
+            # buys coherence: the first sort_bounces transitions (fan-out
+            # packing + dead-ray compaction); later bounces inherit the
+            # order (rays never revive, so idle tiles stay idle).
+            if sort_rays and b < nb - 1 and b < sort_bounces:
                 key = _bigmesh_sort_key(state, self._box_lo, self._box_inv)
                 ops = [key.reshape(-1), pix.reshape(-1), slot.reshape(-1)]
                 ops += [s.reshape(-1) for s in state]
@@ -2058,12 +2117,10 @@ class BigMeshTracer:
                 pix = srt[1].reshape(shape)
                 slot = srt[2].reshape(shape)
                 state = tuple(s.reshape(shape) for s in srt[3:])
+                sorted_yet = True
         rr, rg, rb = state[12], state[13], state[14]
-        if sort_rays and nb > 1:
-            flat = jax.lax.sort(
-                [slot.reshape(-1), rr.reshape(-1), rg.reshape(-1),
-                 rb.reshape(-1)], num_keys=1)
-            rr, rg, rb = (flat[k].reshape(shape) for k in (1, 2, 3))
+        if sorted_yet:
+            rr, rg, rb = by_slot(slot, (rr, rg, rb))
         res = (_from_tiles(rr, n), _from_tiles(rg, n), _from_tiles(rb, n))
         if collect_hits:
             return res, (jnp.stack(fams), jnp.stack(idxs))
