@@ -466,6 +466,169 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
     return carry, (count, count, nstill)
 
 
+def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
+                      live, scratch, carry, tri_base=0):
+    """Cluster-culled closest-hit with a ROW-SLICED triangle fold.
+
+    Same listing phase as _culled_tris (SMEM bounds, per-lane slab tests,
+    compacted tile work list, t_best re-prune per cluster), but phase 2
+    folds each listed cluster's CULL_K triangles as one [CULL_K, S, L]
+    row-path step: the triangle fields come from a VMEM table shaped
+    [rows, 1, 1] via a dynamic pl.ds row slice (the layout the dense row
+    search uses — rows live on the untiled leading dim, so any 16-row
+    offset is legal), and the winner folds with the min+iota-select of
+    _search.pick.  This replaces the 17-SMEM-scalar-loads × 16-triangle
+    scalar loop per cluster — the scalar core was ~30% of walk time and
+    fat [8,1024] vector ops hide the wider [16,S,L] intermediates.
+
+    ``tri_ref`` is a VMEM block [17*BIG_CHUNK_T, 1, 1]: field k's rows at
+    [k*BIG_CHUNK_T + cc*CULL_K, ...).  ``bounds`` are the 12 SMEM bound
+    views (6 supergroup + 6 cluster).  Bit-identical to _culled_tris: the
+    candidate set, visit order, and first-row tie-break all match the
+    sequential walk.
+
+    Returns (carry, (listed, processed, still_passed))."""
+    (s0x, s0y, s0z, s1x, s1y, s1z,
+     c0x, c0y, c0z, c1x, c1y, c1z) = bounds
+    n_clu, n_sup = meta["n_clu"], meta["n_sup"]
+    hitlist_ref = scratch[0]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < _DENOM_EPS, _DENOM_EPS, c)
+
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+
+    def slab(x0, y0, z0, x1, y1, z1):
+        fx0 = (x0 - ox) * ivx
+        fx1 = (x1 - ox) * ivx
+        fy0 = (y0 - oy) * ivy
+        fy1 = (y1 - oy) * ivy
+        fz0 = (z0 - oz) * ivz
+        fz1 = (z1 - oz) * ivz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(fx0, fx1), jnp.minimum(fy0, fy1)),
+            jnp.maximum(jnp.minimum(fz0, fz1), mint),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
+            jnp.maximum(fz0, fz1),
+        )
+        return t0, t1
+
+    def fold_min(tab):
+        return jax.lax.fori_loop(
+            0, n_sup, lambda s2, m: jnp.minimum(m, tab[s2]),
+            jnp.float32(_BIG))
+
+    def fold_max(tab):
+        return jax.lax.fori_loop(
+            0, n_sup, lambda s2, m: jnp.maximum(m, tab[s2]),
+            jnp.float32(-_BIG))
+
+    rt0, rt1 = slab(fold_min(s0x), fold_min(s0y), fold_min(s0z),
+                    fold_max(s1x), fold_max(s1y), fold_max(s1z))
+    cull_live = live & (rt1 >= rt0)
+
+    def slab_any(x0, y0, z0, x1, y1, z1, tmax=None):
+        t0, t1 = slab(x0, y0, z0, x1, y1, z1)
+        ok = (t1 >= t0) & cull_live
+        if tmax is not None:
+            ok &= t0 < tmax
+        return jnp.any(ok)
+
+    def sup_body(s2, count):
+        hit = slab_any(s0x[s2], s0y[s2], s0z[s2], s1x[s2], s1y[s2], s1z[s2])
+
+        def scan(count):
+            def clu_body(c, count):
+                h = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c])
+
+                @pl.when(h)
+                def _():
+                    hitlist_ref[count] = c
+
+                return count + jnp.where(h, 1, 0)
+
+            hi = jnp.minimum((s2 + 1) * CULL_G, n_clu)
+            return jax.lax.fori_loop(s2 * CULL_G, hi, clu_body, count)
+
+        return jax.lax.cond(hit, scan, lambda c: c, count)
+
+    count = jax.lax.cond(
+        jnp.any(cull_live),
+        lambda: jax.lax.fori_loop(0, n_sup, sup_body, jnp.int32(0)),
+        lambda: jnp.int32(0),
+    )
+
+    oxb, oyb, ozb = ox[None], oy[None], oz[None]
+    dxb, dyb, dzb = dx[None], dy[None], dz[None]
+    K = CULL_K
+
+    def fold_cluster(cc, carry):
+        t_best = carry[0]
+        base = cc * K
+
+        def col(k):
+            return tri_ref[pl.ds(k * BIG_CHUNK_T + base, K)]
+
+        nx, ny, nz = col(0), col(1), col(2)
+        e0x, e0y, e0z = col(3), col(4), col(5)
+        e1x, e1y, e1z = col(6), col(7), col(8)
+        v0n, v0e0, v0e1 = col(9), col(10), col(11)
+        g00, g11, g01 = col(12), col(13), col(14)
+        inv_det, mat_i = col(15), col(16)
+        dn = nx * dxb + ny * dyb + nz * dzb
+        on = nx * oxb + ny * oyb + nz * ozb
+        de0 = e0x * dxb + e0y * dyb + e0z * dzb
+        de1 = e1x * dxb + e1y * dyb + e1z * dzb
+        oe0 = e0x * oxb + e0y * oyb + e0z * ozb
+        oe1 = e1x * oxb + e1y * oyb + e1z * ozb
+        dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
+        t = (v0n - on) / dn_safe
+        b0 = oe0 + t * de0 - v0e0
+        b1 = oe1 + t * de1 - v0e1
+        u = inv_det * (g11 * b0 - g01 * b1)
+        v = inv_det * (g00 * b1 - g01 * b0)
+        valid = ((mint < t) & (t < t_best[None]) & (u > 0.0)
+                 & (v > 0.0) & (u + v < 1.0))
+        tm = jnp.where(valid, t, _BIG)
+
+        # min + first-row iota select (== ascending sequential updates).
+        t_best, wnx, wny, wnz, wmat, wfam, widx = carry
+        cmin = jnp.min(tm, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (K, S, L), 0)
+        first = jnp.min(
+            jnp.where(tm == cmin[None], rows, jnp.int32(2**30)), axis=0)
+        oh = rows == first[None]
+
+        def sel(colv):
+            return jnp.sum(jnp.where(oh, colv, 0.0), axis=0)
+
+        better = cmin < t_best
+        t_best = jnp.where(better, cmin, t_best)
+        wnx = jnp.where(better, sel(nx), wnx)
+        wny = jnp.where(better, sel(ny), wny)
+        wnz = jnp.where(better, sel(nz), wnz)
+        wmat = jnp.where(better, sel(mat_i), wmat)
+        wfam = jnp.where(better, 0, wfam)
+        widx = jnp.where(better, tri_base + base + first, widx)
+        return (t_best, wnx, wny, wnz, wmat, wfam, widx)
+
+    def clu_work(k, state):
+        nstill, carry = state
+        c = hitlist_ref[k]
+        still = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c],
+                         tmax=carry[0])
+        carry = jax.lax.cond(
+            still, lambda cc2: fold_cluster(c, cc2), lambda cc2: cc2, carry)
+        return nstill + jnp.where(still, 1, 0), carry
+
+    nstill, carry = jax.lax.fori_loop(
+        0, count, clu_work, (jnp.int32(0), carry)
+    )
+    return carry, (count, count, nstill)
+
+
 def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
             cull=None, live=None, cull_scratch=None):
     """Closest-hit over all families.  Ray comps are [S, L]; returns winner
@@ -1701,15 +1864,22 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     ) + tuple(a[:, :, k].reshape(-1) for a in (cb0c, cb1c) for k in range(3))
     meta = dict(n_chunks=n_chunks, num_tri=t)
     sup_boxes = (sb0[:, :BIG_CHUNK_SUP], sb1[:, :BIG_CHUNK_SUP])
-    # ONE flat table: per chunk, 17 triangle strides then 12 bound strides,
-    # contiguous — a single SMEM operand/DMA per chunk step instead of 29
-    # (the kernel re-evaluates every operand's index map and copy-elision
-    # check at every grid step; with tiles x chunk-slot grids that fixed
-    # cost is a measurable slice of the no-walk floor).
-    packed = jnp.concatenate(
-        [v.reshape(n_chunks, -1) for v in tri_tabs + bound_tabs], axis=1
+    # Consolidated chunk operands (the kernel re-evaluates every operand's
+    # index map and copy-elision check at every grid step; with
+    # tiles x chunk-slot grids, 29 separate tables were a measurable slice
+    # of the no-walk floor):
+    #   bounds_packed  SMEM [n_chunks * 12*BIG_BOUND_PAD] — 6 supergroup +
+    #                  6 cluster bound strides per chunk (listing phase)
+    #   tri_rows       VMEM [n_chunks * 17*BIG_CHUNK_T, 1, 1] — triangle
+    #                  field strides per chunk, rows on the untiled leading
+    #                  dim for dynamic 16-row cluster slices (row-path fold)
+    bounds_packed = jnp.concatenate(
+        [v.reshape(n_chunks, -1) for v in bound_tabs], axis=1
     ).reshape(-1)
-    return (packed,), meta, sup_boxes
+    tri_rows = jnp.concatenate(
+        [v.reshape(n_chunks, -1) for v in tri_tabs], axis=1
+    ).reshape(-1, 1, 1)
+    return (bounds_packed, tri_rows), meta, sup_boxes
 
 
 class _OffsetView:
@@ -1752,21 +1922,19 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
         for d in (sph, pln, mat):
             for k in d:
                 d[k] = d[k][...]
-        # Packed chunk table: 17 triangle strides then 12 bound strides.
-        chunk_refs = tuple(
-            _OffsetView(refs[35], k * BIG_CHUNK_T) for k in range(17)
-        ) + tuple(
-            _OffsetView(refs[35], 17 * BIG_CHUNK_T + j * BIG_BOUND_PAD)
-            for j in range(12)
+        # Packed chunk operands: SMEM bound strides + VMEM triangle rows.
+        bounds_views = tuple(
+            _OffsetView(refs[35], j * BIG_BOUND_PAD) for j in range(12)
         )
-        pix_ref = refs[36]
-        state_refs = refs[37:53]
-        outs = refs[53:69]
+        tri_rows_ref = refs[36]
+        pix_ref = refs[37]
+        state_refs = refs[38:54]
+        outs = refs[54:70]
         rec_outs = ()
-        scratch_at = 69
+        scratch_at = 70
         if collect:
-            rec_outs = refs[69:71]
-            scratch_at = 71
+            rec_outs = refs[70:72]
+            scratch_at = 72
         winf, wini, hitlist = (refs[scratch_at], refs[scratch_at + 1],
                                refs[scratch_at + 2])
 
@@ -1792,8 +1960,9 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
         def _walk():
             carry = (winf[0], winf[1], winf[2], winf[3], winf[4],
                      wini[0], wini[1])
-            carry, _ = _culled_tris(
-                chunk_refs, chunk_meta, ox, oy, oz, dx, dy, dz, mint,
+            carry, _ = _culled_tris_rows(
+                bounds_views, tri_rows_ref, chunk_meta,
+                ox, oy, oz, dx, dy, dz, mint,
                 active, (hitlist,), carry,
                 tri_base=wl_ref[t, c] * BIG_CHUNK_T,
             )
@@ -1950,34 +2119,45 @@ def _bigmesh_chunk_worklist(state, sup_lo, sup_hi, mint):
 
     ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
 
-    def one_chunk(lo, hi):
-        any_hit = jnp.zeros(ox.shape[0], bool)
-        for s in range(lo.shape[0]):
-            fx0 = (lo[s, 0] - ox) * ivx
-            fx1 = (hi[s, 0] - ox) * ivx
-            fy0 = (lo[s, 1] - oy) * ivy
-            fy1 = (hi[s, 1] - oy) * ivy
-            fz0 = (lo[s, 2] - oz) * ivz
-            fz1 = (hi[s, 2] - oz) * ivz
-            t0 = jnp.maximum(
-                jnp.maximum(jnp.minimum(fx0, fx1), jnp.minimum(fy0, fy1)),
-                jnp.maximum(jnp.minimum(fz0, fz1), mint),
-            )
-            t1 = jnp.minimum(
-                jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
-                jnp.maximum(fz0, fz1),
-            )
-            ok = (t1 >= t0) & live
-            any_hit = any_hit | jnp.any(ok, axis=(1, 2))
-        return any_hit
+    def box_ok(lo, hi):
+        fx0 = (lo[0] - ox) * ivx
+        fx1 = (hi[0] - ox) * ivx
+        fy0 = (lo[1] - oy) * ivy
+        fy1 = (hi[1] - oy) * ivy
+        fz0 = (lo[2] - oz) * ivz
+        fz1 = (hi[2] - oz) * ivz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(fx0, fx1), jnp.minimum(fy0, fy1)),
+            jnp.maximum(jnp.minimum(fz0, fz1), mint),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
+            jnp.maximum(fz0, fz1),
+        )
+        return (t1 >= t0) & live
 
-    # Unrolled over chunks (n_chunks is static and small): XLA fuses all
-    # n_chunks*n_sup box tests into ONE elementwise+reduce pass over the
-    # ray state, where a lax.map paid a full state re-read per chunk
-    # (measured 3.1 ms/bounce at 1080p x 6 chunks; ~0.6 ms unrolled).
-    mask = jnp.stack(
-        [one_chunk(sup_lo[ci], sup_hi[ci]) for ci in range(n_chunks)],
-        axis=1)                                          # [grid, n_chunks]
+    # One fused pass over the ray state: every box test is elementwise, the
+    # per-ray results pack into chunk-bitmask words, and a single
+    # bitwise-OR reduction folds the tile.  (The obvious per-chunk
+    # any-reduce formulations pay a full state re-read per reduce — both a
+    # lax.map and an unrolled jnp.stack measured 3-4 ms/bounce at 1080p;
+    # XLA does not horizontally fuse separate reductions.)
+    n_words = -(-n_chunks // 31)
+    mask_cols = []
+    for w in range(n_words):
+        bits = jnp.zeros_like(ox, jnp.int32)
+        for ci in range(w * 31, min((w + 1) * 31, n_chunks)):
+            hit = jnp.zeros_like(ox, bool)
+            for s in range(sup_lo.shape[1]):
+                hit = hit | box_ok(sup_lo[ci, s], sup_hi[ci, s])
+            bits = bits | (hit.astype(jnp.int32) << (ci - w * 31))
+        word = jnp.bitwise_or.reduce(
+            bits.reshape(bits.shape[0], -1), axis=1)     # [grid]
+        mask_cols += [
+            (word >> (ci - w * 31)) & 1
+            for ci in range(w * 31, min((w + 1) * 31, n_chunks))
+        ]
+    mask = jnp.stack(mask_cols, axis=1) > 0              # [grid, n_chunks]
     ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
     cnt = mask.sum(axis=1, dtype=jnp.int32)
     wl = jax.lax.sort(jnp.where(mask, ids, jnp.int32(n_chunks)), dimension=1)
