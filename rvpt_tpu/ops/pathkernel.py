@@ -2015,8 +2015,15 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
         stride = v.shape[0] // n_chunks
         # The chunk streamed at slot (t, c) is wl[t, c]; repeated trailing
         # ids make the pipeline skip the copy (same block as previous step).
-        return pl.BlockSpec((stride,), lambda t, c, wl_, cnt_: (wl_[t, c],),
-                            memory_space=pltpu.SMEM)
+        # bounds_packed is 1-D scalar data (SMEM); tri_rows is the 3-D
+        # [rows, 1, 1] VMEM table the row-path fold slices with pl.ds.
+        if v.ndim == 1:
+            return pl.BlockSpec(
+                (stride,), lambda t, c, wl_, cnt_: (wl_[t, c],),
+                memory_space=pltpu.SMEM)
+        return pl.BlockSpec(
+            (stride, 1, 1), lambda t, c, wl_, cnt_: (wl_[t, c], 0, 0),
+            memory_space=pltpu.VMEM)
 
     row = pl.BlockSpec((1, S, L), lambda t, c, wl_, cnt_: (t, 0, 0),
                        memory_space=pltpu.VMEM)

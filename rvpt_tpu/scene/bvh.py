@@ -224,15 +224,17 @@ def attach_bvh(scene):
     v1 = np.asarray(scene.tri_v1)
     v2 = np.asarray(scene.tri_v2)
     centers, bmin, bmax = triangle_bounds(v0, v1, v2)
-    host = build_bvh(centers, bmin, bmax)
+    # Native builder first (it exists precisely because NumPy is slow on the
+    # large meshes where build time matters); NumPy is the fallback.
+    host = None
     try:
         from ..native import bvh_native
 
-        native = bvh_native.build(centers, bmin, bmax)
-        if native is not None:
-            host = native
+        host = bvh_native.build(centers, bmin, bmax)
     except Exception:
-        pass
+        host = None
+    if host is None:
+        host = build_bvh(centers, bmin, bmax)
     perm = host.prim_indices
     return dataclasses.replace(
         scene,
