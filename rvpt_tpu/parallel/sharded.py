@@ -182,20 +182,44 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     return out.reshape(3, cfg.height, cfg.width)
 
 
-def render_frame_sharded(scene, camera, settings, cfg, film, dirty, mesh):
+def _sharded_fast_eligible(scene, settings: RenderSettings) -> bool:
+    """The sharded steady-state loop rides the fused path kernels whenever
+    the single-device display path would (render.py _megakernel_eligible) and
+    the frame is a single full-film Kajiya pass — the beauty-render hot loop.
+    Split-screen / debug modes stay on the XLA integrators per shard."""
+    from ..render import _megakernel_eligible
+
+    return (set(settings.modes()) == {9}
+            and _megakernel_eligible(scene, settings))
+
+
+def render_frame_sharded(scene, camera, settings, cfg, film, dirty, mesh,
+                         interpret: bool = False):
     """Sharded sample + EMA accumulate (film itself stays row-sharded if the
-    caller placed it so; the update is elementwise)."""
+    caller placed it so; the update is elementwise).
+
+    Kernel-eligible frames (Kajiya beauty render, including culled and
+    chunked big-mesh scenes) run the fused Pallas path kernel per shard via
+    render_sample_sharded_fast — the same kernels the single-chip display
+    path uses (reference steady loop: rvpt.cpp:346-404); everything else
+    falls back to the XLA integrators."""
     frame = jnp.where(jnp.asarray(dirty), jnp.uint32(0), film.frame)
-    sample = render_sample_sharded(scene, camera, settings, cfg, frame, mesh)
+    if _sharded_fast_eligible(scene, settings):
+        sample = render_sample_sharded_fast(
+            scene, camera, settings, cfg, frame, mesh, interpret=interpret)
+    else:
+        sample = render_sample_sharded(scene, camera, settings, cfg, frame,
+                                       mesh)
     new_film = film_ops.accumulate(film, sample, dirty)
     return new_film, new_film.accum
 
 
-def make_render_fn(scene, camera, settings, cfg, mesh):
+def make_render_fn(scene, camera, settings, cfg, mesh, interpret: bool = False):
     """Jitted closure for the steady-state sharded frame loop."""
 
     @partial(jax.jit, donate_argnames=("film",))
     def step(scene, camera, film, dirty):
-        return render_frame_sharded(scene, camera, settings, cfg, film, dirty, mesh)
+        return render_frame_sharded(scene, camera, settings, cfg, film,
+                                    dirty, mesh, interpret=interpret)
 
     return step

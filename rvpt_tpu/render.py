@@ -223,12 +223,17 @@ def _trace_mode_kernel(pt, scene, camera, settings, cfg, cam_params,
     """One kernel-resident integrator pass over a pixel batch -> (r, g, b).
     Jitter + camera ray generation run inside the kernels — the film output
     is the only ray-sized HBM traffic of the pass."""
+    from .ops.intersect import on_tpu
     from .ops.pathkernel import PRIMARY_MODES, trace_hart
 
+    # Off-TPU (forced-kernel tests, bench smoke) the kernels run in
+    # interpret mode — same auto rule as _bigmesh_chw.
+    interpret = not on_tpu()
     if mode == 10:
         return trace_hart(
             scene, pixel, frame, cam_params=cam_params,
             cam_mode=camera.mode, jitter_salt=salt0 + _JITTER_SITE,
+            interpret=interpret,
         )
     if mode in PRIMARY_MODES:
         # nrays (a static jit arg) matters only to AO's probe loop;
@@ -239,6 +244,7 @@ def _trace_mode_kernel(pt, scene, camera, settings, cfg, cam_params,
             salt_base=salt0 + _INTEGRATOR_SITE,
             jitter_salt=salt0 + _JITTER_SITE,
             nrays=max(int(settings.max_bounces), 1) if mode == 5 else 1,
+            interpret=interpret,
         )
     integ = {7: "whitted", 8: "cook"}.get(mode, "kajiya")
     return pt.trace(
@@ -247,6 +253,7 @@ def _trace_mode_kernel(pt, scene, camera, settings, cfg, cam_params,
         max_bounces=settings.max_bounces, style=settings.style,
         gen_rays=True, cam_params=cam_params, cam_mode=camera.mode,
         jitter_salt=salt0 + _JITTER_SITE, integ=integ,
+        interpret=interpret,
     )
 
 

@@ -205,3 +205,42 @@ def test_sharded_fast_bigmesh(monkeypatch):
     want = ((s0 + s1) / 2.0).T.reshape(3, 16, 32)
     close = np.isclose(img, want, rtol=1e-4, atol=1e-4)
     assert close.mean() > 0.995, f"only {close.mean():.4f} of pixels match"
+
+
+def test_sharded_steady_loop_rides_kernels(monkeypatch):
+    """render_frame_sharded routes kernel-eligible frames through the fused
+    path kernels (reference steady loop rvpt.cpp:346-404): with the kernel
+    backend forced, the sharded step must never touch the XLA sharded
+    sampler, and its film must equal accumulating the single-device fast
+    sample (spp axis 1, bit-identical RNG by global pixel id)."""
+    from rvpt_tpu.ops import film as film_ops
+    from rvpt_tpu.ops import intersect as im
+    from rvpt_tpu.ops.pathkernel import PathTracer, camera_params
+    from rvpt_tpu.parallel import sharded
+    from rvpt_tpu.render import _INTEGRATOR_SITE, _JITTER_SITE, _pixel_grid
+
+    monkeypatch.setattr(im, "_BACKEND", "pallas")
+    scene, cam = builtin.mesh_demo(subdiv=1, aspect=2.0)
+    cfg = FilmConfig(width=64, height=32)
+    st = RenderSettings(max_bounces=2)
+    assert sharded._sharded_fast_eligible(scene, st)
+
+    def boom(*a, **k):  # the steady loop must not fall back to XLA
+        raise AssertionError("XLA sharded sampler used for an eligible frame")
+
+    monkeypatch.setattr(sharded, "render_sample_sharded", boom)
+
+    mesh = mesh_mod.make_mesh(8, 1)
+    film = film_ops.Film.create(cfg.height, cfg.width)
+    film, accum = sharded.render_frame_sharded(
+        scene, cam, st, cfg, film, jnp.bool_(True), mesh, interpret=True)
+
+    # must equal accumulating the kernel-backed sharded sample (whose parity
+    # with the single-device fast path is pinned by the tests above)
+    ref = np.asarray(sharded.render_sample_sharded_fast(
+        scene, cam, st, cfg, 0, mesh, interpret=True))
+    assert np.array_equal(np.asarray(accum), ref)
+
+    # split-screen frames stay on the XLA path (not kernel-eligible)
+    st_split = st.replace(top_left_render_mode=3)
+    assert not sharded._sharded_fast_eligible(scene, st_split)
