@@ -282,8 +282,11 @@ def _pcg3d(x, y, z):
 
 
 def _unit(bits):
-    # Mosaic lacks a u32->f32 cast; the top 24 bits fit in i32.
-    shifted = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    # Mosaic lacks a u32->f32 cast; the top 24 bits fit in i32.  lax's
+    # bitcast (not pltpu's) lowers both in-kernel AND as a plain XLA op —
+    # the big-mesh mode drivers run this same shading math between chunked
+    # launches, where pltpu.bitcast has no evaluation rule.
+    shifted = jax.lax.bitcast_convert_type(bits >> jnp.uint32(8), jnp.int32)
     return shifted.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
@@ -467,30 +470,42 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
 
 
 def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
-                      live, scratch, carry, tri_base=0):
+                      live, scratch, carry, tri_base=0,
+                      n_sup_dyn=None, n_clu_dyn=None):
     """Cluster-culled closest-hit with a ROW-SLICED triangle fold.
 
     Same listing phase as _culled_tris (SMEM bounds, per-lane slab tests,
     compacted tile work list, t_best re-prune per cluster), but phase 2
     folds each listed cluster's CULL_K triangles as one [CULL_K, S, L]
     row-path step: the triangle fields come from a VMEM table shaped
-    [rows, 1, 1] via a dynamic pl.ds row slice (the layout the dense row
-    search uses — rows live on the untiled leading dim, so any 16-row
-    offset is legal), and the winner folds with the min+iota-select of
-    _search.pick.  This replaces the 17-SMEM-scalar-loads × 16-triangle
-    scalar loop per cluster — the scalar core was ~30% of walk time and
-    fat [8,1024] vector ops hide the wider [16,S,L] intermediates.
+    a triangle-row x field-lane VMEM block via ONE dynamic 16-row pl.ds
+    slice per cluster (then 17 static lane extracts), and the winner folds
+    with the min+iota-select of _search.pick.  This replaces the
+    17-SMEM-scalar-loads × 16-triangle scalar loop per cluster — the
+    scalar core was ~30% of walk time and fat [8,1024] vector ops hide
+    the wider [16,S,L] intermediates.
 
-    ``tri_ref`` is a VMEM block [17*BIG_CHUNK_T, 1, 1]: field k's rows at
-    [k*BIG_CHUNK_T + cc*CULL_K, ...).  ``bounds`` are the 12 SMEM bound
-    views (6 supergroup + 6 cluster).  Bit-identical to _culled_tris: the
-    candidate set, visit order, and first-row tie-break all match the
-    sequential walk.
+    ``tri_ref`` is a VMEM block [BIG_CHUNK_T, 128]: field k of the
+    cluster's triangle j at [cc*CULL_K + j, k] (pack_cull_chunked's
+    VMEM-feasible layout).  ``bounds`` are the 12 SMEM bound
+    views (6 supergroup + 6 cluster).  ``n_sup_dyn``/``n_clu_dyn`` (traced
+    i32) clamp the listing loops to the streamed chunk's REAL counts —
+    inverted-box padding would pass the orientation-agnostic slab test and
+    must never be listed (pack_cull_chunked).
+
+    Matches _culled_tris' candidate set, visit order, and first-row
+    tie-break exactly; one sign-bit caveat: the winner-field select is a
+    masked sum, so a selected value of -0.0 lands as +0.0 (-0.0 + 0.0),
+    where the sequential walk's where-select would keep the sign bit.
+    Numerically identical everywhere (-0.0 == +0.0; shading uses the
+    normal only in products and compares).
 
     Returns (carry, (listed, processed, still_passed))."""
     (s0x, s0y, s0z, s1x, s1y, s1z,
      c0x, c0y, c0z, c1x, c1y, c1z) = bounds
     n_clu, n_sup = meta["n_clu"], meta["n_sup"]
+    n_sup_eff = n_sup if n_sup_dyn is None else n_sup_dyn
+    n_clu_eff = n_clu if n_clu_dyn is None else n_clu_dyn
     hitlist_ref = scratch[0]
 
     def inv(c):
@@ -549,14 +564,14 @@ def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
 
                 return count + jnp.where(h, 1, 0)
 
-            hi = jnp.minimum((s2 + 1) * CULL_G, n_clu)
+            hi = jnp.minimum((s2 + 1) * CULL_G, n_clu_eff)
             return jax.lax.fori_loop(s2 * CULL_G, hi, clu_body, count)
 
         return jax.lax.cond(hit, scan, lambda c: c, count)
 
     count = jax.lax.cond(
         jnp.any(cull_live),
-        lambda: jax.lax.fori_loop(0, n_sup, sup_body, jnp.int32(0)),
+        lambda: jax.lax.fori_loop(0, n_sup_eff, sup_body, jnp.int32(0)),
         lambda: jnp.int32(0),
     )
 
@@ -567,9 +582,10 @@ def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
     def fold_cluster(cc, carry):
         t_best = carry[0]
         base = cc * K
+        blk = tri_ref[pl.ds(base, K), :]        # [K, 128] triangle rows
 
         def col(k):
-            return tri_ref[pl.ds(k * BIG_CHUNK_T + base, K)]
+            return blk[:, k:k + 1][:, :, None]  # field lane -> [K, 1, 1]
 
         nx, ny, nz = col(0), col(1), col(2)
         e0x, e0y, e0z = col(3), col(4), col(5)
@@ -753,14 +769,18 @@ def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
 
 
 def _mat_fetch(mat, meta, wmat):
-    """Winner-material table fetch (one-hot select-sum)."""
-    mrows = jax.lax.broadcasted_iota(
-        jnp.int32, (meta["mat_rows"], S, L), 0
-    )
+    """Winner-material table fetch (one-hot select-sum).
+
+    Shape-generic over the winner id array: [S, L] inside the kernels,
+    [grid, S, L] when the big-mesh mode drivers run the same shading math
+    as XLA ops between chunked search launches."""
+    rows = meta["mat_rows"]
+    mrows = jax.lax.broadcasted_iota(jnp.int32, (rows,) + wmat.shape, 0)
     is_m = mrows == wmat.astype(jnp.int32)[None]
 
     def mfetch(name):
-        return jnp.sum(jnp.where(is_m, mat[name], 0.0), axis=0)
+        col = mat[name].reshape((rows,) + (1,) * wmat.ndim)
+        return jnp.sum(jnp.where(is_m, col, 0.0), axis=0)
 
     return {k: mfetch(k) for k in MAT_FIELDS}
 
@@ -897,7 +917,7 @@ def _shade_whitted(mat, meta, pix, frame, salt, state, winner, search):
     sox = g["px"] + _EPSILON * nX
     soy = g["py"] + _EPSILON * nY
     soz = g["pz"] + _EPSILON * nZ
-    ones = jnp.ones((S, L), jnp.float32)
+    ones = jnp.ones_like(nX)
     sw = search((sox, soy, soz),
                 (_LDIR[0] * ones, _LDIR[1] * ones, _LDIR[2] * ones), is_lam)
     in_shadow = (sw[5] >= 0) & is_lam
@@ -1809,17 +1829,30 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     Same leaf-ordered cluster/supergroup structure as pack_cull, reshaped to
     [n_chunks, BIG_CHUNK_*] so a second grid axis streams one chunk's tables
     through SMEM per step (double-buffered by the Pallas pipeline; the whole
-    mesh never has to fit).  Padded clusters get INVERTED boxes (+inf/-inf)
-    so their slab test can never pass.
+    mesh never has to fit).  Padded clusters get INVERTED boxes (+inf/-inf);
+    note an inverted box still PASSES the orientation-agnostic slab test
+    (per-axis min/max normalisation turns (+B,-B) into (-B,+B)), so the
+    walk and the tile cull must never test padded entries: both clamp their
+    listing loops to the per-chunk real counts in ``chunk_counts``.
 
-    Tables are FLAT 1D with per-chunk strides (XLA tiles 1D arrays at
-    T(1024), so every stride is a 1024-multiple): 17 triangle tables
-    [n_chunks * BIG_CHUNK_T], then 6 supergroup + 6 cluster bound tables
-    [n_chunks * BIG_BOUND_PAD] (entries beyond BIG_CHUNK_SUP/BIG_CHUNK_CLU
-    are inverted-box padding).  Returns (tables, meta, (sup_lo, sup_hi))
-    where sup_lo/sup_hi [n_chunks, BIG_CHUNK_SUP, 3] are the unpadded
-    supergroup boxes used by the XLA-side per-tile chunk cull
-    (_bigmesh_chunk_worklist).
+    Bound tables are FLAT 1D with per-chunk strides (XLA tiles 1D arrays
+    at T(1024), so every stride is a 1024-multiple): 6 supergroup + 6
+    cluster bound tables [n_chunks * BIG_BOUND_PAD] (entries beyond
+    BIG_CHUNK_SUP/BIG_CHUNK_CLU are inverted-box padding).  Triangle
+    fields are packed TRIANGLE-ROW x FIELD-LANE: [n_chunks*BIG_CHUNK_T,
+    128] f32 with field k of triangle i at [c*BIG_CHUNK_T+i, k] (lanes
+    17..127 zero) — rows land on dense (8,128) VMEM tiles, so one chunk's
+    block costs BIG_CHUNK_T*512 B (2 MB at 4096).  A [rows,1,1] column
+    layout pads every row to a full tile: 17*4096 rows was a 70 MB scoped
+    VMEM block, over the 16 MB limit at compile time (measured;
+    benchmarks/layout_probe.py pins both layouts at equal fold
+    throughput).
+
+    Returns (tables, meta, (sup_lo, sup_hi, sup_counts)) where sup_lo/
+    sup_hi [n_chunks, BIG_CHUNK_SUP, 3] are the unpadded supergroup boxes
+    used by the XLA-side per-tile chunk cull (_bigmesh_chunk_worklist) and
+    sup_counts is the static per-chunk real supergroup count that bounds
+    its listing loop.
     """
     t = scene.num_triangles
     if t < 1:
@@ -1846,7 +1879,9 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     bmax = jnp.pad(bmax, pad_tri, mode="edge")
     cb0 = jnp.min(bmin.reshape(n_clu, CULL_K, 3), axis=1) - eps
     cb1 = jnp.max(bmax.reshape(n_clu, CULL_K, 3), axis=1) + eps
-    # Padded clusters: inverted boxes never pass a slab test.
+    # Padded clusters: inverted boxes — identity elements for the min/max
+    # bound folds, but NOT slab-proof (see docstring); never tested because
+    # every listing loop is clamped to the real per-chunk counts below.
     cb0 = jnp.concatenate([cb0, jnp.full((clu_pad, 3), _BIG, jnp.float32)])
     cb1 = jnp.concatenate([cb1, jnp.full((clu_pad, 3), -_BIG, jnp.float32)])
     cb0c = cb0.reshape(n_chunks, BIG_CHUNK_CLU, 3)
@@ -1863,23 +1898,36 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
         a[:, :, k].reshape(-1) for a in (sb0, sb1) for k in range(3)
     ) + tuple(a[:, :, k].reshape(-1) for a in (cb0c, cb1c) for k in range(3))
     meta = dict(n_chunks=n_chunks, num_tri=t)
-    sup_boxes = (sb0[:, :BIG_CHUNK_SUP], sb1[:, :BIG_CHUNK_SUP])
+    # Real (unpadded) supergroup/cluster counts per chunk: the walk and the
+    # tile cull clamp their listing loops to these so inverted-box padding
+    # is never slab-tested (it would pass — see docstring).  The last
+    # chunk's padding otherwise costs every tile up to BIG_CHUNK_CLU
+    # spurious cluster folds per bounce.
+    clu_cnt = [min(BIG_CHUNK_CLU, n_clu - c * BIG_CHUNK_CLU)
+               for c in range(n_chunks)]
+    sup_cnt = tuple(-(-cc // CULL_G) for cc in clu_cnt)
+    # Stride 1024 (not 2): XLA tiles 1-D arrays at T(1024) — same rule
+    # that sizes BIG_BOUND_PAD — and Mosaic block shapes must match.
+    counts = jnp.zeros((n_chunks, 1024), jnp.int32)
+    counts = counts.at[:, 0].set(jnp.asarray(sup_cnt, jnp.int32))
+    counts = counts.at[:, 1].set(jnp.asarray(clu_cnt, jnp.int32))
+    counts = counts.reshape(-1)
+    sup_boxes = (sb0[:, :BIG_CHUNK_SUP], sb1[:, :BIG_CHUNK_SUP], sup_cnt)
     # Consolidated chunk operands (the kernel re-evaluates every operand's
     # index map and copy-elision check at every grid step; with
     # tiles x chunk-slot grids, 29 separate tables were a measurable slice
     # of the no-walk floor):
     #   bounds_packed  SMEM [n_chunks * 12*BIG_BOUND_PAD] — 6 supergroup +
     #                  6 cluster bound strides per chunk (listing phase)
-    #   tri_rows       VMEM [n_chunks * 17*BIG_CHUNK_T, 1, 1] — triangle
-    #                  field strides per chunk, rows on the untiled leading
-    #                  dim for dynamic 16-row cluster slices (row-path fold)
+    #   tri_lanes      VMEM [n_chunks * BIG_CHUNK_T, 128] — triangle-row x
+    #                  field-lane block per chunk (docstring layout note)
+    #   counts         SMEM [n_chunks * 2] — (sup_cnt, clu_cnt) per chunk
     bounds_packed = jnp.concatenate(
         [v.reshape(n_chunks, -1) for v in bound_tabs], axis=1
     ).reshape(-1)
-    tri_rows = jnp.concatenate(
-        [v.reshape(n_chunks, -1) for v in tri_tabs], axis=1
-    ).reshape(-1, 1, 1)
-    return (bounds_packed, tri_rows), meta, sup_boxes
+    tri_lanes = jnp.pad(jnp.stack(tri_tabs, axis=1),
+                        ((0, 0), (0, 128 - len(tri_tabs))))
+    return (bounds_packed, tri_lanes, counts), meta, sup_boxes
 
 
 class _OffsetView:
@@ -1897,7 +1945,8 @@ class _OffsetView:
         return self.ref[self.base + i]
 
 
-def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
+def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False,
+                        search_only=False):
     """One bounce of the big-mesh path.  Grid (tiles, chunk slots), slots
     inner: slot 0 seeds the winner with the dense sphere/plane search, each
     slot below the tile's work-list count folds ONE listed chunk's clusters
@@ -1910,7 +1959,13 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
     work is proportional to LISTED chunks, not mesh size.  The winner carry
     lives in VMEM scratch across slot steps.  With ``collect``, two extra
     outputs carry this bounce's hit records (family, global index; -1 where
-    inactive/miss) for the replay-from-hits backward (ops.fast_grad)."""
+    inactive/miss) for the replay-from-hits backward (ops.fast_grad).
+
+    With ``search_only`` the last slot skips shading and writes the raw
+    winner instead (7 outputs: t/nx/ny/nz/mat f32, fam/idx i32) — the
+    chunked closest-hit primitive under the big-mesh debug-integrator and
+    Whitted/Cook drivers (BigMeshTracer.search_tiles), whose shading runs
+    as XLA ops between launches."""
     n_chunks = meta["n_chunks"]
     chunk_meta = dict(meta, n_clu=BIG_CHUNK_CLU, n_sup=BIG_CHUNK_SUP)
 
@@ -1922,19 +1977,21 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
         for d in (sph, pln, mat):
             for k in d:
                 d[k] = d[k][...]
-        # Packed chunk operands: SMEM bound strides + VMEM triangle rows.
+        # Packed chunk operands: SMEM bound strides + the VMEM
+        # triangle-row x field-lane block + SMEM (sup, clu) counts.
         bounds_views = tuple(
             _OffsetView(refs[35], j * BIG_BOUND_PAD) for j in range(12)
         )
         tri_rows_ref = refs[36]
-        pix_ref = refs[37]
-        state_refs = refs[38:54]
-        outs = refs[54:70]
+        cnts_ref = refs[37]      # (sup_cnt, clu_cnt) of the streamed chunk
+        pix_ref = refs[38]
+        state_refs = refs[39:55]
+        n_out = 7 if search_only else (18 if collect else 16)
+        outs = refs[55:55 + n_out]
         rec_outs = ()
-        scratch_at = 70
-        if collect:
-            rec_outs = refs[70:72]
-            scratch_at = 72
+        scratch_at = 55 + n_out
+        if collect and not search_only:
+            rec_outs, outs = outs[16:], outs[:16]
         winf, wini, hitlist = (refs[scratch_at], refs[scratch_at + 1],
                                refs[scratch_at + 2])
 
@@ -1965,6 +2022,7 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
                 ox, oy, oz, dx, dy, dz, mint,
                 active, (hitlist,), carry,
                 tri_base=wl_ref[t, c] * BIG_CHUNK_T,
+                n_sup_dyn=cnts_ref[0], n_clu_dyn=cnts_ref[1],
             )
             for j in range(5):
                 winf[j] = carry[j]
@@ -1975,6 +2033,10 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
         def _finish():
             carry = (winf[0], winf[1], winf[2], winf[3], winf[4],
                      wini[0], wini[1])
+            if search_only:
+                for ref, val in zip(outs, carry):
+                    ref[0] = val
+                return
             state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
                      rr, rg, rb, active)
             if collect:
@@ -1998,14 +2060,16 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "meta_key", "mint", "style", "is_last", "interpret", "collect"))
+    "meta_key", "mint", "style", "is_last", "interpret", "collect",
+    "search_only"))
 def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
-                  meta_key, mint, style, is_last, interpret, collect=False):
+                  meta_key, mint, style, is_last, interpret, collect=False,
+                  search_only=False):
     meta = dict(meta_key)
     grid = pix.shape[0]
     n_chunks = meta["n_chunks"]
     kern = make_bigmesh_kernel(meta, mint, style=style, is_last=is_last,
-                               collect=collect)
+                               collect=collect, search_only=search_only)
 
     def tab_spec(v):
         return pl.BlockSpec(v.shape, lambda t, c, wl_, cnt_: (0, 0, 0),
@@ -2015,14 +2079,15 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
         stride = v.shape[0] // n_chunks
         # The chunk streamed at slot (t, c) is wl[t, c]; repeated trailing
         # ids make the pipeline skip the copy (same block as previous step).
-        # bounds_packed is 1-D scalar data (SMEM); tri_rows is the 3-D
-        # [rows, 1, 1] VMEM table the row-path fold slices with pl.ds.
+        # bounds_packed/counts are 1-D scalar data (SMEM); tri_lanes is the
+        # [rows, 128] VMEM block the fold slices with pl.ds (dense (8,128)
+        # tiles — see pack_cull_chunked's layout note).
         if v.ndim == 1:
             return pl.BlockSpec(
                 (stride,), lambda t, c, wl_, cnt_: (wl_[t, c],),
                 memory_space=pltpu.SMEM)
         return pl.BlockSpec(
-            (stride, 1, 1), lambda t, c, wl_, cnt_: (wl_[t, c], 0, 0),
+            (stride, 128), lambda t, c, wl_, cnt_: (wl_[t, c], 0),
             memory_space=pltpu.VMEM)
 
     row = pl.BlockSpec((1, S, L), lambda t, c, wl_, cnt_: (t, 0, 0),
@@ -2031,13 +2096,20 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
                 + [tab_spec(v) for v in tables]
                 + [chunk_spec(v) for v in chunk_tables]
                 + [row] * 17)
-    out_shapes = [
-        jax.ShapeDtypeStruct((grid, S, L), jnp.float32) for _ in range(16)
-    ]
-    n_out = 16
-    if collect:
-        out_shapes += [jax.ShapeDtypeStruct((grid, S, L), jnp.int32)] * 2
-        n_out = 18
+    if search_only:
+        out_shapes = (
+            [jax.ShapeDtypeStruct((grid, S, L), jnp.float32)] * 5
+            + [jax.ShapeDtypeStruct((grid, S, L), jnp.int32)] * 2)
+        n_out = 7
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((grid, S, L), jnp.float32)
+            for _ in range(16)
+        ]
+        n_out = 16
+        if collect:
+            out_shapes += [jax.ShapeDtypeStruct((grid, S, L), jnp.int32)] * 2
+            n_out = 18
     ctl = jnp.stack([jnp.asarray(frame, jnp.uint32),
                      jnp.asarray(salt, jnp.uint32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -2097,7 +2169,7 @@ def _bigmesh_sort_key(state, lo, inv_ext):
     return jnp.where(live, (octant << 21) | m, _DEAD_KEY)
 
 
-def _bigmesh_chunk_worklist(state, sup_lo, sup_hi, mint):
+def _bigmesh_chunk_worklist(state, sup_lo, sup_hi, sup_counts, mint):
     """Per-tile chunk work lists for the big-mesh launch.
 
     Any-lane slab tests of each tile's live rays against every chunk's
@@ -2155,7 +2227,10 @@ def _bigmesh_chunk_worklist(state, sup_lo, sup_hi, mint):
         bits = jnp.zeros_like(ox, jnp.int32)
         for ci in range(w * 31, min((w + 1) * 31, n_chunks)):
             hit = jnp.zeros_like(ox, bool)
-            for s in range(sup_lo.shape[1]):
+            # Static clamp to the chunk's real supergroups: inverted-box
+            # padding would pass box_ok for every ray (per-axis min/max is
+            # orientation-agnostic), permanently listing the last chunk.
+            for s in range(sup_counts[ci]):
                 hit = hit | box_ok(sup_lo[ci, s], sup_hi[ci, s])
             bits = bits | (hit.astype(jnp.int32) << (ci - w * 31))
         word = jnp.bitwise_or.reduce(
@@ -2313,6 +2388,132 @@ class BigMeshTracer:
             return res, (jnp.stack(fams), jnp.stack(idxs))
         return res
 
+    # -- big-mesh debug-integrator / Whitted / Cook drivers ---------------
+    # The chunked launches do the searches; the SAME shading/finalize math
+    # as the fused small-mesh kernels (_primary_finalize, _shade_whitted,
+    # _shade_cook — all shape-generic jnp) runs as XLA ops between
+    # launches, so mode semantics match the kernel-resident paths and the
+    # XLA integrators by construction.  Reference: any integrator runs on
+    # any scene, compute_pass.comp:68-99.
+
+    def _mat_dict(self):
+        return dict(zip(MAT_FIELDS, self.tables[27:35]))
+
+    def search_tiles(self, pix, o3, d3, live, frame, interpret=False,
+                     tile_cull=True):
+        """Chunked closest-hit over the full scene in tile space.
+
+        o3/d3: ray components [grid, S, L]; live: bool [grid, S, L].
+        Returns the winner 7-tuple (t, nx, ny, nz, mat, fam, idx), fam -1
+        on miss — the occlusion/shadow primitive of the mode drivers."""
+        z = jnp.zeros_like(o3[0])
+        state = tuple(o3) + tuple(d3) + (z,) * 9 + (
+            live.astype(jnp.float32),)
+        if tile_cull:
+            wl, cnt = _bigmesh_chunk_worklist(
+                state, *self.sup_boxes, self.mint)
+        else:
+            wl, cnt = _bigmesh_full_worklist(
+                pix.shape[0], self.meta["n_chunks"])
+        return _bigmesh_call(
+            jnp.asarray(frame, jnp.uint32), jnp.uint32(0), self.tables,
+            self.chunk_tables, pix, state, wl, cnt, self.meta_key,
+            self.mint, "reference", False, interpret, search_only=True)
+
+    def trace_primary(self, pixel, origin, direction, frame, mode, *,
+                      salt_base, nrays=1, interpret=False, tile_cull=True):
+        """Single-intersection debug integrators (binary/color/depth/
+        normal/Utah/AO/Appel) for big meshes: one chunked closest-hit
+        launch + the shared XLA finalize; AO probes and Appel's shadow are
+        further chunked occlusion launches.  Rays arrive from the XLA
+        raygen (render.py), so jitter matches the XLA integrators."""
+        n = pixel.shape[0]
+        pix = _to_tiles(pixel)
+        o3 = tuple(_to_tiles(origin[:, k]) for k in range(3))
+        d3 = tuple(_to_tiles(direction[:, k]) for k in range(3))
+        frame = jnp.asarray(frame, jnp.uint32)
+        live = jnp.ones_like(o3[0], bool)
+
+        def search(o3s, d3s, mask):
+            return self.search_tiles(pix, o3s, d3s, mask, frame,
+                                     interpret=interpret,
+                                     tile_cull=tile_cull)
+
+        winner = search(o3, d3, live)
+        r, g, b = _primary_finalize(
+            mode, nrays, self._mat_dict(), self.meta, pix, frame,
+            jnp.asarray(salt_base, jnp.uint32), o3 + d3, winner, search)
+        return tuple(_from_tiles(v, n) for v in (r, g, b))
+
+    def trace_shaded(self, pixel, origin, direction, frame, integ, *,
+                     salt_base, max_bounces, style="reference",
+                     interpret=False, tile_cull=True):
+        """Whitted/Cook bounce loops for big meshes: per bounce one
+        chunked closest-hit launch, then the same _shade_whitted /
+        _shade_cook math as the fused kernel in XLA (Whitted adds one
+        chunked shadow launch per bounce; Cook one tail resolve launch,
+        integrators.glsl:483-487)."""
+        n = pixel.shape[0]
+        pix = _to_tiles(pixel)
+        o3 = tuple(_to_tiles(origin[:, k]) for k in range(3))
+        d3 = tuple(_to_tiles(direction[:, k]) for k in range(3))
+        ones = jnp.ones_like(pix, jnp.float32)
+        zeros = jnp.zeros_like(pix, jnp.float32)
+        # Whitted starts its path color at the ambient term
+        # (integrators.glsl:270; integrator_whitted init).
+        amb = jnp.full_like(ones, _AMBIENT)
+        col0 = amb if integ == "whitted" else zeros
+        state = o3 + d3 + (ones, ones, ones, col0, col0, col0,
+                           zeros, zeros, zeros, ones)
+        frame = jnp.asarray(frame, jnp.uint32)
+        mat = self._mat_dict()
+        final = jnp.zeros_like(pix, bool)
+
+        def search(o3s, d3s, mask):
+            return self.search_tiles(pix, o3s, d3s, mask, frame,
+                                     interpret=interpret,
+                                     tile_cull=tile_cull)
+
+        nb = int(max_bounces)
+        for b in range(nb):
+            salt = jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(b * 4)
+            winner = search(state[:3], state[3:6], state[15] > 0.0)
+            st = state[:15] + (state[15] > 0.0,)
+            if integ == "whitted":
+                st = _shade_whitted(mat, self.meta, pix, frame, salt,
+                                    st, winner, search)
+            else:
+                st, final = _shade_cook(mat, self.meta, pix, frame, salt,
+                                        st, winner, final)
+            state = st[:15] + (st[15].astype(jnp.float32),)
+
+        active = state[15] > 0.0
+        rr, rg, rb = state[12], state[13], state[14]
+        if integ == "cook":
+            # Tail resolve: a final Lambert scatter still terminates on
+            # emission or sky (mirrors make_path_kernel's is_last tail).
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb,
+             cr, cg, cb) = state[:12]
+            fin = active & final
+            tw = search((ox, oy, oz), (dx, dy, dz), fin)
+            m2 = _mat_fetch(mat, self.meta, tw[4])
+            hit2 = tw[5] >= 0
+            sky_r = _WHITE[0] + (_BLUE[0] - _WHITE[0]) * dy
+            sky_g = _WHITE[1] + (_BLUE[1] - _WHITE[1]) * dy
+            sky_b = _WHITE[2] + (_BLUE[2] - _WHITE[2]) * dy
+            rr = jnp.where(fin, rr + cr + tr * jnp.where(hit2, m2["er"],
+                                                         sky_r), rr)
+            rg = jnp.where(fin, rg + cg + tg * jnp.where(hit2, m2["eg"],
+                                                         sky_g), rg)
+            rb = jnp.where(fin, rb + cb + tb * jnp.where(hit2, m2["eb"],
+                                                         sky_b), rb)
+            active = active & ~final
+        if style == "standard":
+            rr = jnp.where(active, rr + state[9], rr)
+            rg = jnp.where(active, rg + state[10], rg)
+            rb = jnp.where(active, rb + state[11], rb)
+        return tuple(_from_tiles(v, n) for v in (rr, rg, rb))
+
 
 # ---------------------------------------------------------------------------
 # Primary-hit integrator kernel: the single-intersection debug modes
@@ -2328,6 +2529,107 @@ _LNORM = (0.5 * 0.5 + 1.0 * 1.0 + 0.3 * 0.3) ** 0.5
 _LDIR = (0.5 / _LNORM, 1.0 / _LNORM, 0.3 / _LNORM)
 _AMBIENT = 0.1
 _LIGHT_I = 1.0
+
+
+def _primary_finalize(mode, nrays, mat, meta, pix, frame, salt_base,
+                      rays, winner, search):
+    """Debug-integrator finalize from a primary-hit winner — the mode
+    branches of the reference's single-intersection integrators
+    (integrators.glsl:24-250; XLA parity: models/integrators.py).
+
+    Pure jnp and shape-generic: runs inside make_primary_kernel on [S, L]
+    tiles AND as XLA ops on [grid, S, L] arrays between chunked launches
+    (BigMeshTracer's big-mesh mode drivers).  ``search(o3, d3, mask) ->
+    winner`` supplies the AO probe / Appel shadow occlusion searches.
+    Returns (r, g, b)."""
+    ox, oy, oz, dx, dy, dz = rays
+    t, wnx, wny, wnz, wmat, wfam, widx = winner
+    hit = wfam >= 0
+    hit_f = hit.astype(jnp.float32)
+    inv_nl = _rsqrt_safe(wnx * wnx + wny * wny + wnz * wnz)
+    # Normalized, zeroed on miss — isect_from_hit's convention.
+    nX = jnp.where(hit, wnx * inv_nl, 0.0)
+    nY = jnp.where(hit, wny * inv_nl, 0.0)
+    nZ = jnp.where(hit, wnz * inv_nl, 0.0)
+
+    mtab = _mat_fetch(mat, meta, wmat)
+
+    def mfetch(name):
+        return mtab[name]
+
+    if mode == 0:       # binary (integrators.glsl:24-38)
+        r = g = b = hit_f
+    elif mode == 1:     # color (42-59)
+        r = jnp.where(hit, mfetch("ar"), 0.0)
+        g = jnp.where(hit, mfetch("ag"), 0.0)
+        b = jnp.where(hit, mfetch("ab"), 0.0)
+    elif mode == 2:     # depth (63-82): 1/(|d| t); miss -> 0
+        inv_d = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+        r = g = b = jnp.where(hit, inv_d / jnp.maximum(t, 1e-30), 0.0)
+    elif mode == 3:     # normal (86-102)
+        r = 0.5 * nX + 0.5 * hit_f
+        g = 0.5 * nY + 0.5 * hit_f
+        b = 0.5 * nZ + 0.5 * hit_f
+    elif mode == 4:     # Utah (106-148): headlight-free raster shading
+        facing = (dx * nX + dy * nY + dz * nZ) < 0.0
+        fX = jnp.where(facing, nX, -nX)
+        fY = jnp.where(facing, nY, -nY)
+        fZ = jnp.where(facing, nZ, -nZ)
+        cos_l = jnp.maximum(
+            0.0, _LDIR[0] * fX + _LDIR[1] * fY + _LDIR[2] * fZ)
+        # sky uses RAW d.y (glsl mix extrapolates outside [0,1])
+        sky_r = _WHITE[0] + (_BLUE[0] - _WHITE[0]) * dy
+        sky_g = _WHITE[1] + (_BLUE[1] - _WHITE[1]) * dy
+        sky_b = _WHITE[2] + (_BLUE[2] - _WHITE[2]) * dy
+        r = jnp.where(hit, _AMBIENT + mfetch("er")
+                      + mfetch("ar") * (_LIGHT_I * cos_l), sky_r)
+        g = jnp.where(hit, _AMBIENT + mfetch("eg")
+                      + mfetch("ag") * (_LIGHT_I * cos_l), sky_g)
+        b = jnp.where(hit, _AMBIENT + mfetch("eb")
+                      + mfetch("ab") * (_LIGHT_I * cos_l), sky_b)
+    elif mode == 5:     # AO (152-200): nrays cosine probes
+        inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+        iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
+        facing = (iX * nX + iY * nY + iZ * nZ) < 0.0
+        fX = jnp.where(facing, nX, -nX)
+        fY = jnp.where(facing, nY, -nY)
+        fZ = jnp.where(facing, nZ, -nZ)
+        px = ox + t * dx + _EPSILON * fX
+        py = oy + t * dy + _EPSILON * fY
+        pz = oz + t * dz + _EPSILON * fZ
+        acc = jnp.zeros_like(dx)
+        for i in range(nrays):
+            ru, rv, _ = _rng(pix, frame, salt_base + jnp.uint32(i * 4))
+            phi = _TWO_PI * ru
+            cos_t = 1.0 - 2.0 * rv
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            sX = fX + sin_t * jnp.cos(phi)
+            sY = fY + sin_t * jnp.sin(phi)
+            sZ = fZ + cos_t
+            pw = search((px, py, pz), (sX, sY, sZ), hit)
+            acc = acc + ((pw[5] >= 0) & hit).astype(jnp.float32)
+        ao = 1.0 - acc * (1.0 / nrays)
+        r = g = b = jnp.where(hit, ao, 0.0)
+    else:               # Appel (204-250): hard shadow; miss -> white
+        inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
+        iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
+        flip = (iX * nX + iY * nY + iZ * nZ) > 0.0
+        fX = jnp.where(flip, -nX, nX)
+        fY = jnp.where(flip, -nY, nY)
+        fZ = jnp.where(flip, -nZ, nZ)
+        px = ox + t * dx + _EPSILON * fX
+        py = oy + t * dy + _EPSILON * fY
+        pz = oz + t * dz + _EPSILON * fZ
+        ones = jnp.ones_like(dx)
+        sw = search((px, py, pz),
+                    (_LDIR[0] * ones, _LDIR[1] * ones, _LDIR[2] * ones),
+                    hit)
+        shadow = (sw[5] >= 0) & hit
+        cos_l = jnp.maximum(
+            0.0, _LDIR[0] * fX + _LDIR[1] * fY + _LDIR[2] * fZ)
+        lit = jnp.where(shadow, 0.0, _LIGHT_I * cos_l)
+        r = g = b = jnp.where(hit, lit, 1.0)
+    return r, g, b
 
 
 def make_primary_kernel(meta, mint, *, mode, cam_mode, nrays):
@@ -2371,94 +2673,10 @@ def make_primary_kernel(meta, mint, *, mode, cam_mode, nrays):
                                 cull_scratch=cull_scratch)
             return winner
 
-        t, wnx, wny, wnz, wmat, wfam, widx = search(
-            (ox, oy, oz), (dx, dy, dz), live
-        )
-        hit = wfam >= 0
-        hit_f = hit.astype(jnp.float32)
-        inv_nl = _rsqrt_safe(wnx * wnx + wny * wny + wnz * wnz)
-        # Normalized, zeroed on miss — isect_from_hit's convention.
-        nX = jnp.where(hit, wnx * inv_nl, 0.0)
-        nY = jnp.where(hit, wny * inv_nl, 0.0)
-        nZ = jnp.where(hit, wnz * inv_nl, 0.0)
-
-        mtab = _mat_fetch(mat, meta, wmat)
-
-        def mfetch(name):
-            return mtab[name]
-
-        if mode == 0:       # binary (integrators.glsl:24-38)
-            r = g = b = hit_f
-        elif mode == 1:     # color (42-59)
-            r = jnp.where(hit, mfetch("ar"), 0.0)
-            g = jnp.where(hit, mfetch("ag"), 0.0)
-            b = jnp.where(hit, mfetch("ab"), 0.0)
-        elif mode == 2:     # depth (63-82): 1/(|d| t); miss -> 0
-            inv_d = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
-            r = g = b = jnp.where(hit, inv_d / jnp.maximum(t, 1e-30), 0.0)
-        elif mode == 3:     # normal (86-102)
-            r = 0.5 * nX + 0.5 * hit_f
-            g = 0.5 * nY + 0.5 * hit_f
-            b = 0.5 * nZ + 0.5 * hit_f
-        elif mode == 4:     # Utah (106-148): headlight-free raster shading
-            facing = (dx * nX + dy * nY + dz * nZ) < 0.0
-            fX = jnp.where(facing, nX, -nX)
-            fY = jnp.where(facing, nY, -nY)
-            fZ = jnp.where(facing, nZ, -nZ)
-            cos_l = jnp.maximum(
-                0.0, _LDIR[0] * fX + _LDIR[1] * fY + _LDIR[2] * fZ)
-            # sky uses RAW d.y (glsl mix extrapolates outside [0,1])
-            sky_r = _WHITE[0] + (_BLUE[0] - _WHITE[0]) * dy
-            sky_g = _WHITE[1] + (_BLUE[1] - _WHITE[1]) * dy
-            sky_b = _WHITE[2] + (_BLUE[2] - _WHITE[2]) * dy
-            r = jnp.where(hit, _AMBIENT + mfetch("er")
-                          + mfetch("ar") * (_LIGHT_I * cos_l), sky_r)
-            g = jnp.where(hit, _AMBIENT + mfetch("eg")
-                          + mfetch("ag") * (_LIGHT_I * cos_l), sky_g)
-            b = jnp.where(hit, _AMBIENT + mfetch("eb")
-                          + mfetch("ab") * (_LIGHT_I * cos_l), sky_b)
-        elif mode == 5:     # AO (152-200): nrays cosine probes
-            inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
-            iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
-            facing = (iX * nX + iY * nY + iZ * nZ) < 0.0
-            fX = jnp.where(facing, nX, -nX)
-            fY = jnp.where(facing, nY, -nY)
-            fZ = jnp.where(facing, nZ, -nZ)
-            px = ox + t * dx + _EPSILON * fX
-            py = oy + t * dy + _EPSILON * fY
-            pz = oz + t * dz + _EPSILON * fZ
-            acc = jnp.zeros((S, L), jnp.float32)
-            for i in range(nrays):
-                ru, rv, _ = _rng(pix, frame, salt_base + jnp.uint32(i * 4))
-                phi = _TWO_PI * ru
-                cos_t = 1.0 - 2.0 * rv
-                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-                sX = fX + sin_t * jnp.cos(phi)
-                sY = fY + sin_t * jnp.sin(phi)
-                sZ = fZ + cos_t
-                pw = search((px, py, pz), (sX, sY, sZ), hit)
-                acc = acc + ((pw[5] >= 0) & hit).astype(jnp.float32)
-            ao = 1.0 - acc * (1.0 / nrays)
-            r = g = b = jnp.where(hit, ao, 0.0)
-        else:               # Appel (204-250): hard shadow; miss -> white
-            inv_dl = _rsqrt_safe(dx * dx + dy * dy + dz * dz)
-            iX, iY, iZ = dx * inv_dl, dy * inv_dl, dz * inv_dl
-            flip = (iX * nX + iY * nY + iZ * nZ) > 0.0
-            fX = jnp.where(flip, -nX, nX)
-            fY = jnp.where(flip, -nY, nY)
-            fZ = jnp.where(flip, -nZ, nZ)
-            px = ox + t * dx + _EPSILON * fX
-            py = oy + t * dy + _EPSILON * fY
-            pz = oz + t * dz + _EPSILON * fZ
-            ones = jnp.ones((S, L), jnp.float32)
-            sw = search((px, py, pz),
-                        (_LDIR[0] * ones, _LDIR[1] * ones, _LDIR[2] * ones),
-                        hit)
-            shadow = (sw[5] >= 0) & hit
-            cos_l = jnp.maximum(
-                0.0, _LDIR[0] * fX + _LDIR[1] * fY + _LDIR[2] * fZ)
-            lit = jnp.where(shadow, 0.0, _LIGHT_I * cos_l)
-            r = g = b = jnp.where(hit, lit, 1.0)
+        winner = search((ox, oy, oz), (dx, dy, dz), live)
+        r, g, b = _primary_finalize(
+            mode, nrays, mat, meta, pix, frame, salt_base,
+            (ox, oy, oz, dx, dy, dz), winner, search)
 
         outs[0][0] = r
         outs[1][0] = g

@@ -128,13 +128,12 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     if not intersect_mod._use_pallas(max(scene.num_triangles, 1)):
         return False
     modes = set(settings.modes())
-    if len(modes) > 1 and is_bigmesh(scene):
-        return False   # split-screen quadrants don't ride the chunked path
     for mode in modes:
         if mode in PRIMARY_MODES or mode in (7, 8):
-            # primary-hit / Whitted / Cook kernels: no chunked-table support
-            if is_bigmesh(scene):
-                return False
+            # Big meshes ride the chunked search launches + XLA finalize
+            # (BigMeshTracer.trace_primary / trace_shaded); small scenes
+            # the fused primary/bounce kernels.
+            pass
         elif mode == 10:
             # Hart march kernel: raw-vertex SMEM tables, capacity-capped
             from .ops.pathkernel import CULL_MAX_TRIS
@@ -362,17 +361,76 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     return jnp.stack(chans).reshape(3, cfg.height, cfg.width)
 
 
+def _trace_mode_bigmesh(bt, camera, settings, cfg, pixel, xs, ys, frame,
+                        salt0, mode, interpret):
+    """One big-mesh integrator pass over a pixel batch -> (r, g, b).
+
+    Chunked search launches + the shared XLA shading/finalize math —
+    semantics match the kernel-resident small-scene paths and the XLA
+    integrators (reference: any integrator on any scene,
+    compute_pass.comp:68-99).  Rays are generated in XLA with the same
+    jitter salts as render_pixels, so images match the XLA path exactly."""
+    from .ops.pathkernel import PRIMARY_MODES
+
+    ray = jittered_camera_rays(camera, cfg, pixel, xs, ys, frame, salt0)
+    salt_base = salt0 + jnp.uint32(_INTEGRATOR_SITE)
+    if mode in PRIMARY_MODES:
+        return bt.trace_primary(
+            pixel, ray.origin, ray.direction, frame, mode,
+            salt_base=salt_base,
+            nrays=max(int(settings.max_bounces), 1) if mode == 5 else 1,
+            interpret=interpret,
+        )
+    if mode in (7, 8):
+        return bt.trace_shaded(
+            pixel, ray.origin, ray.direction, frame,
+            {7: "whitted", 8: "cook"}[mode], salt_base=salt_base,
+            max_bounces=settings.max_bounces, style=settings.style,
+            interpret=interpret,
+        )
+    return bt.trace(
+        pixel, ray.origin, ray.direction, frame, salt_base=salt_base,
+        max_bounces=settings.max_bounces, style=settings.style,
+        interpret=interpret,
+    )
+
+
 def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                  frame):
     """Display path for BVH meshes beyond the SMEM capacity: the chunked
-    per-bounce kernel (ops.pathkernel.BigMeshTracer).  Rays are generated
-    host-of-kernel (XLA) with the same jitter salts as render_pixels, so the
-    image matches the XLA integrator exactly."""
+    per-bounce kernels (ops.pathkernel.BigMeshTracer), any integrator mode
+    and split-screen included."""
     from .ops.intersect import on_tpu
     from .ops.pathkernel import BigMeshTracer
 
     bt = BigMeshTracer(scene)
     interpret = not on_tpu()
+    frame = jnp.asarray(frame, jnp.uint32)
+    modes = set(settings.modes())
+    scale = 1.0 / settings.aa
+
+    if len(modes) > 1:
+        # Split-screen: per-quadrant pixel batches, rect reassembly via
+        # static slice updates (same scheme as the small-scene path).
+        parts = _split_partition(cfg, settings)
+        out = jnp.zeros((3, cfg.height, cfg.width), jnp.float32)
+        for m, (y0, y1, x0, x1), pix_np in parts:
+            sub = jnp.asarray(pix_np)
+            sxs = sub % jnp.uint32(cfg.width)
+            sys_ = sub // jnp.uint32(cfg.width)
+            acc = [0.0, 0.0, 0.0]
+            for i in range(settings.aa):
+                salt0 = jnp.uint32(i * AA_STRIDE)
+                rgb = _trace_mode_bigmesh(
+                    bt, camera, settings, cfg, sub, sxs, sys_, frame,
+                    salt0, m, interpret)
+                acc = [a + c for a, c in zip(acc, rgb)]
+            rect = jnp.stack(
+                [(a * scale).reshape(y1 - y0, x1 - x0) for a in acc])
+            out = jax.lax.dynamic_update_slice(out, rect, (0, y0, x0))
+        return out
+
+    (mode,) = modes
     grid = _block_grid(cfg.width, cfg.height)
     inv_ord = block_meta = None
     if grid is not None:
@@ -384,21 +442,15 @@ def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         pixel, xs, ys = _pixel_grid(cfg)
         order, inv_ord = _block_order(cfg.width, cfg.height)
         pixel, xs, ys = pixel[order], xs[order], ys[order]
-    frame = jnp.asarray(frame, jnp.uint32)
     acc_r = acc_g = acc_b = 0.0
     for i in range(settings.aa):
         salt0 = jnp.uint32(i * AA_STRIDE)
-        ray = jittered_camera_rays(camera, cfg, pixel, xs, ys, frame, salt0)
-        r, g, b = bt.trace(
-            pixel, ray.origin, ray.direction, frame,
-            salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
-            max_bounces=settings.max_bounces, style=settings.style,
-            interpret=interpret,
-        )
+        r, g, b = _trace_mode_bigmesh(
+            bt, camera, settings, cfg, pixel, xs, ys, frame, salt0, mode,
+            interpret)
         acc_r = acc_r + r
         acc_g = acc_g + g
         acc_b = acc_b + b
-    scale = 1.0 / settings.aa
     chans = [acc_r * scale, acc_g * scale, acc_b * scale]
     if block_meta is not None:
         return jnp.stack(
