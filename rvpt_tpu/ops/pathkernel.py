@@ -1870,6 +1870,16 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
         return jnp.pad(a, (0, tp - t + tri_pad))
 
     tri_tabs = tuple(flat(fields[k]) for k in TRI_FIELDS)
+    # Raw vertex lanes (17..25) for the chunked Hart march: iq triangle
+    # distance needs v0/v1/v2, not the metric-tensor search fields.
+    # Edge-padded (duplicate last triangle) — a zero-padded triangle at the
+    # origin would poison the min-distance fold; duplicates are harmless.
+    vert_tabs = tuple(
+        jnp.pad(jnp.asarray(v[:, k], jnp.float32),
+                (0, tp - t + tri_pad), mode="edge")
+        for v in (scene.tri_v0, scene.tri_v1, scene.tri_v2)
+        for k in range(3)
+    )
 
     bmin = jnp.minimum(jnp.minimum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
     bmax = jnp.maximum(jnp.maximum(scene.tri_v0, scene.tri_v1), scene.tri_v2)
@@ -1925,8 +1935,9 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     bounds_packed = jnp.concatenate(
         [v.reshape(n_chunks, -1) for v in bound_tabs], axis=1
     ).reshape(-1)
-    tri_lanes = jnp.pad(jnp.stack(tri_tabs, axis=1),
-                        ((0, 0), (0, 128 - len(tri_tabs))))
+    all_lanes = tri_tabs + vert_tabs
+    tri_lanes = jnp.pad(jnp.stack(all_lanes, axis=1),
+                        ((0, 0), (0, 128 - len(all_lanes))))
     return (bounds_packed, tri_lanes, counts), meta, sup_boxes
 
 
@@ -2255,6 +2266,121 @@ def _bigmesh_full_worklist(grid, n_chunks):
     return wl, jnp.full((grid,), n_chunks, jnp.int32)
 
 
+def make_bigmesh_hart_kernel(meta):
+    """One Hart march step's scene min-distance over streamed chunks.
+
+    Grid (tiles, chunks); a VMEM d2min scratch carries the running squared
+    minimum across chunk slots, the last slot writes sqrt.  Clusters are
+    DISTANCE-culled: a cluster's AABB distance lower-bounds every member
+    triangle's distance, so skipping clusters with box_d2 >= d2min is
+    EXACT (cannot change the min), unlike an approximate cull.  Triangle
+    distances come from the raw-vertex lanes (17..25) of the chunk table
+    (pack_cull_chunked) via the shared iq form (_tri_dist2,
+    distance_functions.glsl:28-61)."""
+    n_chunks = meta["n_chunks"]
+
+    def kernel(*refs):
+        bounds = tuple(_OffsetView(refs[0], j * BIG_BOUND_PAD)
+                       for j in range(12))
+        tri_ref = refs[1]
+        cnts_ref = refs[2]
+        px, py, pz = (r[0] for r in refs[3:6])
+        live = refs[6][0] > 0.0
+        out_ref = refs[7]
+        d2min_ref = refs[8]
+
+        c = pl.program_id(1)
+        (s0x, s0y, s0z, s1x, s1y, s1z,
+         c0x, c0y, c0z, c1x, c1y, c1z) = bounds
+
+        @pl.when(c == 0)
+        def _init():
+            d2min_ref[0] = jnp.full((S, L), _BIG, jnp.float32)
+
+        def box_d2(lx, ly, lz, hx, hy, hz):
+            ex = jnp.maximum(jnp.maximum(lx - px, px - hx), 0.0)
+            ey = jnp.maximum(jnp.maximum(ly - py, py - hy), 0.0)
+            ez = jnp.maximum(jnp.maximum(lz - pz, pz - hz), 0.0)
+            return ex * ex + ey * ey + ez * ez
+
+        @pl.when(jnp.any(live))
+        def _fold():
+            n_sup = BIG_CHUNK_SUP
+
+            def fmin(tab):
+                return jax.lax.fori_loop(
+                    0, n_sup, lambda s2, m: jnp.minimum(m, tab[s2]),
+                    jnp.float32(_BIG))
+
+            def fmax(tab):
+                return jax.lax.fori_loop(
+                    0, n_sup, lambda s2, m: jnp.maximum(m, tab[s2]),
+                    jnp.float32(-_BIG))
+
+            root_d2 = box_d2(fmin(s0x), fmin(s0y), fmin(s0z),
+                             fmax(s1x), fmax(s1y), fmax(s1z))
+            d2min = d2min_ref[0]
+
+            def clu_body(cc, d2min):
+                bd2 = box_d2(c0x[cc], c0y[cc], c0z[cc],
+                             c1x[cc], c1y[cc], c1z[cc])
+                near = jnp.any(live & (bd2 < d2min))
+
+                def fold(d2min):
+                    blk = tri_ref[pl.ds(cc * CULL_K, CULL_K), :]
+
+                    def col(k):
+                        return blk[:, k:k + 1][:, :, None]
+
+                    d2 = _tri_dist2(
+                        px[None], py[None], pz[None],
+                        col(17), col(18), col(19),
+                        col(20), col(21), col(22),
+                        col(23), col(24), col(25),
+                    )
+                    return jnp.minimum(d2min, jnp.min(d2, axis=0))
+
+                return jax.lax.cond(near, fold, lambda v: v, d2min)
+
+            d2min_ref[0] = jax.lax.cond(
+                jnp.any(live & (root_d2 < d2min)),
+                lambda v: jax.lax.fori_loop(0, cnts_ref[1], clu_body, v),
+                lambda v: v, d2min)
+
+        @pl.when(c == n_chunks - 1)
+        def _out():
+            out_ref[0] = jnp.sqrt(d2min_ref[0])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta_key", "interpret"))
+def _bigmesh_hart_call(chunk_tables, p3, live, meta_key, interpret):
+    meta = dict(meta_key)
+    grid = live.shape[0]
+    n_chunks = meta["n_chunks"]
+    kern = make_bigmesh_hart_kernel(meta)
+
+    def chunk_spec(v):
+        stride = v.shape[0] // n_chunks
+        if v.ndim == 1:
+            return pl.BlockSpec((stride,), lambda t, c: (c,),
+                                memory_space=pltpu.SMEM)
+        return pl.BlockSpec((stride, 128), lambda t, c: (c, 0),
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, S, L), lambda t, c: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(grid, n_chunks),
+        in_specs=[chunk_spec(v) for v in chunk_tables] + [row] * 4,
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((grid, S, L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, S, L), jnp.float32)],
+        interpret=interpret,
+    )(*chunk_tables, *p3, live)
+
+
 class BigMeshTracer:
     """Whole-path tracer for meshes beyond CULL_MAX_TRIS.
 
@@ -2514,6 +2640,36 @@ class BigMeshTracer:
             rb = jnp.where(active, rb + state[11], rb)
         return tuple(_from_tiles(v, n) for v in (rr, rg, rb))
 
+    def trace_hart(self, pixel, origin, direction, *, mint=0.0,
+                   interpret=False):
+        """Hart iteration heat map for big meshes: the XLA sphere-trace
+        loop (ops/sdf.py sphere_trace; distance_functions.glsl:70-116)
+        with each step's scene min-distance computed by the chunked
+        distance kernel (make_bigmesh_hart_kernel, exact cluster distance
+        culling).  Whole-film convergence still pays the remaining
+        launches' floors; the per-tile live gate skips their folds."""
+        n = pixel.shape[0]
+        o3 = tuple(_to_tiles(origin[:, k]) for k in range(3))
+        d3 = tuple(_to_tiles(direction[:, k]) for k in range(3))
+        t0 = jnp.float32(mint)
+        px, py, pz = (o + t0 * d for o, d in zip(o3, d3))
+        iters = jnp.full(px.shape, MARCH_ITER, jnp.int32)
+        done = jnp.zeros(px.shape, bool)
+        for i in range(MARCH_ITER):
+            dist = _bigmesh_hart_call(
+                self.chunk_tables, (px, py, pz),
+                (~done).astype(jnp.float32), self.meta_key, interpret)
+            stop = dist < MARCH_EPS   # maxt = inf (integrator_hart)
+            iters = jnp.where((~done) & stop, i, iters)
+            adv = (~done) & ~stop
+            px = jnp.where(adv, px + dist * d3[0], px)
+            py = jnp.where(adv, py + dist * d3[1], py)
+            pz = jnp.where(adv, pz + dist * d3[2], pz)
+            done = done | stop
+        val = iters.astype(jnp.float32) * (1.0 / (MARCH_ITER - 1))
+        v = _from_tiles(val, n)
+        return v, v, v
+
 
 # ---------------------------------------------------------------------------
 # Primary-hit integrator kernel: the single-intersection debug modes
@@ -2758,6 +2914,52 @@ def pack_hart(scene: Scene) -> tuple[tuple, dict]:
     return tabs, dict(hart_rows=tp, num_tri=t)
 
 
+def _tri_dist2(px, py, pz,
+               ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Squared iq unsigned triangle distance (distance_functions.glsl:28-61),
+    broadcast-generic: vertex comps broadcast against point comps — SMEM
+    scalars vs [S,L] tiles in make_hart_kernel, [K,1,1] lane columns vs
+    [1,S,L] tiles in the chunked big-mesh march."""
+    bax, bay, baz = bx - ax, by - ay, bz - az
+    cbx, cby, cbz = cx - bx, cy - by, cz - bz
+    acx, acy, acz = ax - cx, ay - cy, az - cz
+    # nor = cross(ba, ac)
+    nx = bay * acz - baz * acy
+    ny = baz * acx - bax * acz
+    nz = bax * acy - bay * acx
+    pax, pay, paz = px - ax, py - ay, pz - az
+    pbx, pby, pbz = px - bx, py - by, pz - bz
+    pcx, pcy, pcz = px - cx, py - cy, pz - cz
+
+    def edge_sign(ex, ey, ez, qx, qy, qz):
+        # sign(dot(cross(e, nor), q))
+        cxx = ey * nz - ez * ny
+        cyy = ez * nx - ex * nz
+        czz = ex * ny - ey * nx
+        return jnp.sign(cxx * qx + cyy * qy + czz * qz)
+
+    edge_region = (
+        edge_sign(bax, bay, baz, pax, pay, paz)
+        + edge_sign(cbx, cby, cbz, pbx, pby, pbz)
+        + edge_sign(acx, acy, acz, pcx, pcy, pcz)
+    ) < 2.0
+
+    def edge_dist(ex, ey, ez, qx, qy, qz):
+        e2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-20)
+        h = jnp.clip((ex * qx + ey * qy + ez * qz) / e2, 0.0, 1.0)
+        rx, ry, rz = ex * h - qx, ey * h - qy, ez * h - qz
+        return rx * rx + ry * ry + rz * rz
+
+    d_edge = jnp.minimum(
+        jnp.minimum(edge_dist(bax, bay, baz, pax, pay, paz),
+                    edge_dist(cbx, cby, cbz, pbx, pby, pbz)),
+        edge_dist(acx, acy, acz, pcx, pcy, pcz),
+    )
+    dn = nx * pax + ny * pay + nz * paz
+    d_face = dn * dn / jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
+    return jnp.where(edge_region, d_edge, d_face)
+
+
 def make_hart_kernel(meta, mint, *, cam_mode):
     """Sphere tracing over the scene triangle SDF (ops/sdf.py sphere_trace,
     distance_functions.glsl:70-116): MARCH_ITER steps of iq triangle
@@ -2780,48 +2982,12 @@ def make_hart_kernel(meta, mint, *, cam_mode):
 
         def scene_dist(px, py, pz):
             def tri_body(j, best):
-                ax, ay, az = tabs[0][j], tabs[1][j], tabs[2][j]
-                bx, by, bz = tabs[3][j], tabs[4][j], tabs[5][j]
-                cx, cy, cz = tabs[6][j], tabs[7][j], tabs[8][j]
-                bax, bay, baz = bx - ax, by - ay, bz - az
-                cbx, cby, cbz = cx - bx, cy - by, cz - bz
-                acx, acy, acz = ax - cx, ay - cy, az - cz
-                # nor = cross(ba, ac) — scalars
-                nx = bay * acz - baz * acy
-                ny = baz * acx - bax * acz
-                nz = bax * acy - bay * acx
-                pax, pay, paz = px - ax, py - ay, pz - az
-                pbx, pby, pbz = px - bx, py - by, pz - bz
-                pcx, pcy, pcz = px - cx, py - cy, pz - cz
-
-                def edge_sign(ex, ey, ez, qx, qy, qz):
-                    # sign(dot(cross(e, nor), q))
-                    cxx = ey * nz - ez * ny
-                    cyy = ez * nx - ex * nz
-                    czz = ex * ny - ey * nx
-                    return jnp.sign(cxx * qx + cyy * qy + czz * qz)
-
-                edge_region = (
-                    edge_sign(bax, bay, baz, pax, pay, paz)
-                    + edge_sign(cbx, cby, cbz, pbx, pby, pbz)
-                    + edge_sign(acx, acy, acz, pcx, pcy, pcz)
-                ) < 2.0
-
-                def edge_dist(ex, ey, ez, qx, qy, qz):
-                    e2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-20)
-                    h = jnp.clip((ex * qx + ey * qy + ez * qz) / e2, 0.0, 1.0)
-                    rx, ry, rz = ex * h - qx, ey * h - qy, ez * h - qz
-                    return rx * rx + ry * ry + rz * rz
-
-                d_edge = jnp.minimum(
-                    jnp.minimum(edge_dist(bax, bay, baz, pax, pay, paz),
-                                edge_dist(cbx, cby, cbz, pbx, pby, pbz)),
-                    edge_dist(acx, acy, acz, pcx, pcy, pcz),
+                d2 = _tri_dist2(
+                    px, py, pz,
+                    tabs[0][j], tabs[1][j], tabs[2][j],
+                    tabs[3][j], tabs[4][j], tabs[5][j],
+                    tabs[6][j], tabs[7][j], tabs[8][j],
                 )
-                dn = nx * pax + ny * pay + nz * paz
-                d_face = dn * dn / jnp.maximum(nx * nx + ny * ny + nz * nz,
-                                               1e-20)
-                d2 = jnp.where(edge_region, d_edge, d_face)
                 return jnp.minimum(best, d2)
 
             d2 = jax.lax.fori_loop(

@@ -135,9 +135,10 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
             # the fused primary/bounce kernels.
             pass
         elif mode == 10:
-            # Hart march kernel: raw-vertex SMEM tables, capacity-capped
+            # Hart: march kernel (raw-vertex SMEM tables) up to capacity;
+            # BVH-attached big meshes ride the chunked distance kernel.
             from .ops.pathkernel import CULL_MAX_TRIS
-            if scene.num_triangles > CULL_MAX_TRIS:
+            if scene.num_triangles > CULL_MAX_TRIS and not is_bigmesh(scene):
                 return False
         elif mode != 9:
             return False
@@ -374,6 +375,9 @@ def _trace_mode_bigmesh(bt, camera, settings, cfg, pixel, xs, ys, frame,
 
     ray = jittered_camera_rays(camera, cfg, pixel, xs, ys, frame, salt0)
     salt_base = salt0 + jnp.uint32(_INTEGRATOR_SITE)
+    if mode == 10:
+        return bt.trace_hart(pixel, ray.origin, ray.direction,
+                             interpret=interpret)
     if mode in PRIMARY_MODES:
         return bt.trace_primary(
             pixel, ray.origin, ray.direction, frame, mode,

@@ -121,6 +121,29 @@ def test_bigmesh_whitted_cook_match_xla(small_chunks, mode):
     assert close.mean() > 0.995, f"mode {mode}: {close.mean():.4f} match"
 
 
+def test_bigmesh_hart_matches_xla(small_chunks):
+    """Hart sphere-trace heat map on a multi-chunk mesh: the chunked
+    min-distance kernel + XLA march must match integrator_hart
+    (distance_functions.glsl:70-116).  The cluster distance cull is exact
+    (box distance lower-bounds member-triangle distance), so mismatches
+    beyond fp noise indicate an unsound skip."""
+    from rvpt_tpu.ops import pathkernel as pk
+
+    scene = _mixed_mesh_scene()
+    cfg = FilmConfig(width=24, height=16)
+    cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
+    pixel, ray = _rays(cfg, cam)
+    st = RenderSettings(max_bounces=2)
+
+    ref = np.asarray(eval_integrator(
+        10, scene, ray, pixel, jnp.uint32(0), st, salt_base=jnp.uint32(16)))
+    bt = pk.BigMeshTracer(scene)
+    r, g, b = bt.trace_hart(pixel, ray.origin, ray.direction, interpret=True)
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.99, f"hart: {close.mean():.4f} match"
+
+
 def test_bigmesh_split_screen_matches_xla(monkeypatch, small_chunks):
     """4-way split on a big-mesh scene rides the chunked launches
     (render.py _bigmesh_chw) and matches the XLA split render
