@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 
 
+SORT_BOUNCES = 3
+
+
 def make_fn(scene, cam, cfg, bounces, sort, cull=True):
     from rvpt_tpu.render import _block_grid, jittered_camera_rays
     from rvpt_tpu.ops.pathkernel import BigMeshTracer
@@ -39,7 +42,7 @@ def make_fn(scene, cam, cfg, bounces, sort, cull=True):
         r, g, b = bt.trace(
             pixel, ray.origin, ray.direction, frame,
             salt_base=jnp.uint32(16), max_bounces=bounces, sort_rays=sort,
-            tile_cull=cull,
+            tile_cull=cull, sort_bounces=SORT_BOUNCES,
         )
         return r.sum() + g.sum() + b.sum()
 
@@ -75,6 +78,20 @@ def main():
             pk.BIG_CHUNK_CLU = pk.BIG_CHUNK_T // pk.CULL_K
             pk.BIG_CHUNK_SUP = pk.BIG_CHUNK_CLU // pk.CULL_G
             print(f"CULL_K={pk.CULL_K}")
+        # A/B lever: bigger chunks halve the (tiles x chunks) grid floor
+        # and the work-list cost, at coarser tile-cull granularity and a
+        # 2x VMEM block (BIG_CHUNK_T=8192 -> 4 MB x2 buffers).
+        if a.startswith("--chunkt="):
+            from rvpt_tpu.ops import pathkernel as pk
+
+            pk.BIG_CHUNK_T = int(a.split("=")[1])
+            pk.BIG_CHUNK_CLU = pk.BIG_CHUNK_T // pk.CULL_K
+            pk.BIG_CHUNK_SUP = pk.BIG_CHUNK_CLU // pk.CULL_G
+            print(f"BIG_CHUNK_T={pk.BIG_CHUNK_T}")
+        if a.startswith("--sortb="):
+            global SORT_BOUNCES
+            SORT_BOUNCES = int(a.split("=")[1])
+            print(f"sort_bounces={SORT_BOUNCES}")
     cfg = FilmConfig(width=1920, height=1080)
     bounces = 8
     rays = cfg.num_pixels * bounces
