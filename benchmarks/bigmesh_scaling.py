@@ -58,7 +58,19 @@ def bench(fn, iters):
     for i in range(iters):
         out = fn(jnp.uint32(i + 1))
     out.block_until_ready()
-    return (time.perf_counter() - t0) / iters, compile_s
+    dt = (time.perf_counter() - t0) / iters
+    # The tunnel occasionally reports ~0 ms after very long (>350 s)
+    # compiles — a transport artifact, not a real measurement.  Surface
+    # the result value so bogus runs are detectable, and retry once.
+    print(f"    [sum={float(out):.1f}]", flush=True)
+    if dt < 0.01:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(jnp.uint32(i + 1))
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        print(f"    [retry after bogus ~0 ms: {dt*1e3:.1f} ms]", flush=True)
+    return dt, compile_s
 
 
 def main():
