@@ -121,6 +121,53 @@ def test_bigmesh_whitted_cook_match_xla(small_chunks, mode):
     assert close.mean() > 0.995, f"mode {mode}: {close.mean():.4f} match"
 
 
+def test_bigmesh_mode_eligibility(monkeypatch, small_chunks):
+    """Every integrator mode and 4-way split is kernel-eligible on a
+    big-mesh scene (the reference runs any integrator on any scene,
+    compute_pass.comp:68-99) — a refusal would silently fall back to the
+    minutes-per-frame XLA path at 1080p."""
+    from rvpt_tpu.ops import intersect as intersect_mod
+    from rvpt_tpu.ops import pathkernel as pk
+    from rvpt_tpu.render import _megakernel_eligible
+
+    monkeypatch.setattr(pk, "CULL_MAX_TRIS", 256)
+    monkeypatch.setattr(intersect_mod, "_BACKEND", "pallas")
+    scene = _mixed_mesh_scene(n_tri=400, seed=13)
+    assert pk.is_bigmesh(scene)
+    for mode in range(11):
+        st = RenderSettings(max_bounces=2, top_left_render_mode=mode,
+                            top_right_render_mode=mode,
+                            bottom_left_render_mode=mode,
+                            bottom_right_render_mode=mode)
+        assert _megakernel_eligible(scene, st), f"mode {mode} refused"
+    st = RenderSettings(max_bounces=2, top_left_render_mode=3,
+                        top_right_render_mode=10, bottom_left_render_mode=5,
+                        bottom_right_render_mode=8)
+    assert _megakernel_eligible(scene, st), "4-way split refused"
+
+
+def test_bigmesh_search_miss_semantics(small_chunks):
+    """search_tiles returns fam=-1 / t=+BIG for rays that miss everything
+    and ignores dead lanes — the contract every mode driver builds on."""
+    import jax.numpy as jnp
+
+    from rvpt_tpu.ops import pathkernel as pk
+
+    scene = _mixed_mesh_scene(n_tri=1200, seed=7)
+    bt = pk.BigMeshTracer(scene)
+    n = pk.TILE
+    pix = pk._to_tiles(jnp.arange(n, dtype=jnp.uint32))
+    up = jnp.ones((n,), jnp.float32)
+    zero = jnp.zeros((n,), jnp.float32)
+    # Rays pointing straight up from above the scene: all miss.
+    o3 = tuple(pk._to_tiles(v) for v in (zero, up * 50.0, zero))
+    d3 = tuple(pk._to_tiles(v) for v in (zero, up, zero))
+    live = jnp.ones_like(o3[0], bool)
+    w = bt.search_tiles(pix, o3, d3, live, jnp.uint32(0), interpret=True)
+    assert bool((np.asarray(w[5]) == -1).all()), "miss must report fam -1"
+    assert bool((np.asarray(w[0]) >= 1e30).all()), "miss must keep t at BIG"
+
+
 def test_bigmesh_hart_matches_xla(small_chunks):
     """Hart sphere-trace heat map on a multi-chunk mesh: the chunked
     min-distance kernel + XLA march must match integrator_hart
