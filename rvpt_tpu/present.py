@@ -39,6 +39,8 @@ def _keymap():
         pygame.K_RIGHT: "right",
         pygame.K_UP: "up",
         pygame.K_DOWN: "down",
+        pygame.K_LEFTBRACKET: "left_bracket",
+        pygame.K_RIGHTBRACKET: "right_bracket",
     }
     for c in "abcdefghijklmnopqrstuvwxyz0123456789":
         m[getattr(pygame, f"K_{c}")] = c

@@ -293,6 +293,23 @@ class Viewer:
             self.renderer.reload()
         if inp.is_key_down("v"):
             self.debug_overlay = not self.debug_overlay
+        # Live render-settings hotkeys — the headless stand-in for the
+        # reference's ImGui render-settings panel (rvpt.cpp:270-341): any
+        # change lands in the dirty fingerprint and resets accumulation
+        # exactly like an ImGui edit (rvpt.cpp:102-111).
+        st = self.renderer.settings
+        if inp.is_key_down("i"):   # cycle integrator (all quadrants)
+            nxt = (st.top_left_render_mode + 1) % 11
+            st = st.replace(
+                top_left_render_mode=nxt, top_right_render_mode=nxt,
+                bottom_left_render_mode=nxt, bottom_right_render_mode=nxt,
+            )
+        if inp.is_key_down("[") or inp.is_key_down("left_bracket"):
+            st = st.replace(max_bounces=max(1, st.max_bounces - 1))
+        if inp.is_key_down("]") or inp.is_key_down("right_bracket"):
+            st = st.replace(max_bounces=min(64, st.max_bounces + 1))
+        if st is not self.renderer.settings:
+            self.renderer.settings = st
         if inp.is_key_up("enter"):
             inp.set_mouse_window_lock(not inp.mouse_locked)
         if self.presenter is not None:

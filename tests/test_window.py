@@ -196,6 +196,38 @@ class TestViewer:
         v.step(dt=0.0)
         assert not v.debug_overlay
 
+    def test_i_cycles_integrator_and_resets_accumulation(self):
+        # Settings hotkeys are the ImGui-panel stand-in (rvpt.cpp:270-341):
+        # a settings edit must reset accumulation via the dirty fingerprint
+        # (rvpt.cpp:102-111), exactly like camera movement does.
+        frames = []
+        v = self.make_viewer(frames)
+        v.step(dt=0.0)
+        v.step(dt=0.0)
+        assert int(v.renderer.film.frame) == 2
+        v.input.on_key("i", Action.PRESS)
+        v.step(dt=0.0)
+        st = v.renderer.settings
+        assert st.modes() == ((9 + 1) % 11,) * 4
+        assert int(v.renderer.film.frame) == 1  # reset, then drew one frame
+
+    def test_bracket_keys_step_bounces(self):
+        frames = []
+        v = self.make_viewer(frames)
+        assert v.renderer.settings.max_bounces == 1
+        v.input.on_key("]", Action.PRESS)
+        v.step(dt=0.0)
+        assert v.renderer.settings.max_bounces == 2
+        v.step(dt=0.0)
+        assert int(v.renderer.film.frame) == 2
+        v.input.on_key("left_bracket", Action.PRESS)  # pygame key name
+        v.step(dt=0.0)
+        assert v.renderer.settings.max_bounces == 1
+        assert int(v.renderer.film.frame) == 1
+        v.input.on_key("[", Action.PRESS)  # floor at 1 bounce
+        v.step(dt=0.0)
+        assert v.renderer.settings.max_bounces == 1
+
     def test_enter_release_toggles_mouse_lock(self):
         frames = []
         v = self.make_viewer(frames)
