@@ -53,10 +53,11 @@ def main():
     init_albedo = jnp.full_like(mats.albedo, 0.5)
     init_emission = mats.emission * 0.25
     scene_init = inverse.apply_params(
-        scene_true, {"albedo": init_albedo, "emission": init_emission}
+        scene_true, {"materials.albedo": init_albedo,
+                     "materials.emission": init_emission}
     )
 
-    scene_rec, losses = inverse.recover(
+    scene_rec, losses, _ = inverse.recover(
         scene_init, camera, settings, cfg, mesh, target,
         steps=400, learning_rate=3e-2, log_every=50,
     )

@@ -2,9 +2,15 @@
 the path tracer (BASELINE.md config 5 / north star).
 
 The forward model is the same sharded renderer used for display; gradients
-w.r.t. the replicated material parameters are psum'd across the mesh by
+w.r.t. the replicated scene parameters are psum'd across the mesh by
 shard_map's transpose, and optax applies the update — the reference has no
 counterpart (its closest state is the temporal accumulation buffer).
+
+Parameter groups (``PARAM_GROUPS``) select which leaves train: materials
+(albedo/emission/ior), geometry (triangle vertices, sphere center/radius,
+plane normal/offset) and camera pose (translation/rotation) — every leaf the
+custom-VJP path kernel already returns cotangents for (ops.fast_grad.bwd,
+tests/test_fast_grad.py, tests/test_camera_grad.py).
 """
 
 from __future__ import annotations
@@ -21,30 +27,95 @@ from ..parallel.sharded import render_sample_sharded
 from ..render import render_sample_chw
 from ..scene.scene import Scene
 
+# group name -> tuple of (container, leaf) addresses
+PARAM_GROUPS = {
+    "albedo": (("materials", "albedo"),),
+    "emission": (("materials", "emission"),),
+    "ior": (("materials", "ior"),),
+    "vertices": (("scene", "tri_v0"), ("scene", "tri_v1"),
+                 ("scene", "tri_v2")),
+    "spheres": (("scene", "sph_center"), ("scene", "sph_radius")),
+    "planes": (("scene", "pln_normal"), ("scene", "pln_d")),
+    "camera": (("camera", "translation"), ("camera", "rotation")),
+}
 
-def trainable_params(scene: Scene) -> dict:
-    """The differentiable leaves targeted by inverse rendering: material
-    albedo and emission (the BASELINE.md interior-parameter targets)."""
-    return {
-        "albedo": scene.materials.albedo,
-        "emission": scene.materials.emission,
-    }
+DEFAULT_GROUPS = ("albedo", "emission")
+
+
+def _group_leaves(groups):
+    seen = []
+    for g in groups:
+        if g not in PARAM_GROUPS:
+            raise ValueError(
+                f"unknown param group {g!r}; known: {sorted(PARAM_GROUPS)}")
+        seen.extend(PARAM_GROUPS[g])
+    return seen
+
+
+def trainable_params(scene: Scene, groups=DEFAULT_GROUPS, camera=None) -> dict:
+    """The differentiable leaves targeted by inverse rendering, keyed
+    ``container.leaf`` (e.g. ``materials.albedo``, ``scene.tri_v0``,
+    ``camera.translation``)."""
+    out = {}
+    for container, leaf in _group_leaves(groups):
+        if container == "materials":
+            out[f"materials.{leaf}"] = getattr(scene.materials, leaf)
+        elif container == "scene":
+            out[f"scene.{leaf}"] = getattr(scene, leaf)
+        else:
+            if camera is None:
+                raise ValueError("camera group requires camera=...")
+            out[f"camera.{leaf}"] = getattr(camera, leaf)
+    return out
 
 
 def apply_params(scene: Scene, params: dict) -> Scene:
-    mats = dataclasses.replace(
-        scene.materials,
-        albedo=params["albedo"],
-        emission=params["emission"],
-    )
-    return dataclasses.replace(scene, materials=mats)
+    """Scene with the scene/material leaves in ``params`` substituted."""
+    mat_kw = {k.split(".", 1)[1]: v for k, v in params.items()
+              if k.startswith("materials.")}
+    scn_kw = {k.split(".", 1)[1]: v for k, v in params.items()
+              if k.startswith("scene.")}
+    if mat_kw:
+        scene = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, **mat_kw))
+    if scn_kw:
+        scene = dataclasses.replace(scene, **scn_kw)
+    return scene
 
 
-def _make_fast_render(scene_tpl, camera, settings, cfg, mesh, interpret):
+def apply_camera(camera, params: dict):
+    cam_kw = {k.split(".", 1)[1]: v for k, v in params.items()
+              if k.startswith("camera.")}
+    return dataclasses.replace(camera, **cam_kw) if cam_kw else camera
+
+
+def constrain_params(params: dict) -> dict:
+    """Project updated parameters back to their physical domains."""
+    out = dict(params)
+    if "materials.albedo" in out:
+        out["materials.albedo"] = jnp.clip(out["materials.albedo"], 0.0, 1.0)
+    if "materials.emission" in out:
+        out["materials.emission"] = jnp.maximum(out["materials.emission"], 0.0)
+    if "materials.ior" in out:
+        out["materials.ior"] = jnp.clip(out["materials.ior"], 1.0, 3.0)
+    if "scene.sph_radius" in out:
+        out["scene.sph_radius"] = jnp.maximum(out["scene.sph_radius"], 1e-3)
+    if "scene.pln_normal" in out:
+        n = out["scene.pln_normal"]
+        out["scene.pln_normal"] = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    return out
+
+
+def _make_fast_render(scene_tpl, camera_tpl, settings, cfg, mesh, interpret):
     """Image-valued render closure backed by the custom-VJP path kernel
     (ops.fast_grad): forward = fused whole-path kernel, backward = fused
     Pallas pullback.  With a mesh, runs per-shard inside shard_map — the
-    shard_map transpose psums the replicated scene cotangent across chips."""
+    shard_map transpose psums the replicated scene cotangent across chips.
+
+    Returns ``render_fast(scene, camera, frame) -> f32[3, H, W]``; aa > 1
+    averages per-sample kernel traces with the display path's AA_STRIDE
+    salt layout, so the gradient is the mean of per-sample VJPs."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -58,23 +129,29 @@ def _make_fast_render(scene_tpl, camera, settings, cfg, mesh, interpret):
         scene_tpl, _INTEGRATOR_SITE, settings.max_bounces,
         style=settings.style, interpret=interpret,
     )
+    aa = settings.aa
 
-    def shade(pixel, xs, ys, s, frame, salt_off):
-        ju, jv = rng_mod.uniform2(pixel, frame, salt_off + jnp.uint32(_JITTER_SITE))
-        cx = (xs.astype(jnp.float32) + ju) / cfg.width
-        cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
-        ray = camera_mod.generate_rays(camera, cx, cy)
-        img = trace(s, ray.origin, ray.direction, pixel, frame, salt=salt_off)
-        return img.T  # [3, n]
+    def shade(pixel, xs, ys, s, cam, frame, salt_off):
+        acc = 0.0
+        for i in range(aa):
+            salt_i = salt_off + jnp.uint32(i * AA_STRIDE)
+            ju, jv = rng_mod.uniform2(
+                pixel, frame, salt_i + jnp.uint32(_JITTER_SITE))
+            cx = (xs.astype(jnp.float32) + ju) / cfg.width
+            cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
+            ray = camera_mod.generate_rays(cam, cx, cy)
+            acc = acc + trace(s, ray.origin, ray.direction, pixel, frame,
+                              salt=salt_i)
+        return acc.T / aa  # [3, n]
 
     if mesh is None:
 
-        def render_fast(s, frame):
+        def render_fast(s, cam, frame):
             # Grids are built INSIDE the traced function: closing over 2M-
             # element concrete arrays embeds them as XLA constants, which
             # blows compile time up ~20x (measured 121s vs 5.5s at 1080p).
             pixel, xs, ys = _pixel_grid(cfg)
-            out = shade(pixel, xs, ys, s, frame, jnp.uint32(0))
+            out = shade(pixel, xs, ys, s, cam, frame, jnp.uint32(0))
             return out.reshape(3, cfg.height, cfg.width)
 
         return render_fast
@@ -90,21 +167,21 @@ def _make_fast_render(scene_tpl, camera, settings, cfg, mesh, interpret):
 
     @_partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P(), P()),
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P(), P(), P()),
         out_specs=P(None, TILE_AXIS), check_vma=False,
     )
-    def tile(pixel, xs, ys, s, frame):
+    def tile(pixel, xs, ys, s, cam, frame):
         rank = jax.lax.axis_index(SPP_AXIS).astype(jnp.uint32)
-        out = shade(pixel, xs, ys, s, frame,
-                    rank * jnp.uint32(settings.aa * AA_STRIDE))
+        out = shade(pixel, xs, ys, s, cam, frame,
+                    rank * jnp.uint32(aa * AA_STRIDE))
         if n_spp > 1:
             out = jax.lax.pmean(out, SPP_AXIS)
         return out
 
-    def render_fast(s, frame):
+    def render_fast(s, cam, frame):
         # Grids built inside the trace (see the single-device comment).
         pixel, xs, ys, _ = _padded_grid(cfg, n_tiles)
-        return tile(pixel, xs, ys, s, frame)[:, :n].reshape(
+        return tile(pixel, xs, ys, s, cam, frame)[:, :n].reshape(
             3, cfg.height, cfg.width
         )
 
@@ -114,11 +191,12 @@ def _make_fast_render(scene_tpl, camera, settings, cfg, mesh, interpret):
 def _fast_eligible(scene, settings: RenderSettings) -> bool:
     from ..render import _megakernel_eligible
 
-    return settings.aa == 1 and _megakernel_eligible(scene, settings)
+    return _megakernel_eligible(scene, settings)
 
 
 def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
-                    mesh, target, learning_rate: float = 2e-2, fast="auto"):
+                    mesh, target, learning_rate: float = 2e-2, fast="auto",
+                    groups=DEFAULT_GROUPS):
     """Build (jitted step fn, initial optimizer state) for sharded training.
 
     ``target`` is channels-first f32[3,H,W] (the film layout).
@@ -126,13 +204,16 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     varies the RNG stream per iteration so Monte-Carlo noise decorrelates
     across optimizer steps (stochastic gradient estimates).
 
+    ``groups`` selects the trainable leaves (PARAM_GROUPS keys); the camera
+    group optimizes pose through ray generation (models/camera.py).
+
     ``fast``: "auto" uses the custom-VJP path-kernel renderer when the scene/
     settings fit it and the backend runs Pallas; True forces it (compiled),
     "interpret" forces it with interpreted kernels (CPU tests); False uses
     the XLA integrator path.
     """
     opt = optax.adam(learning_rate)
-    opt_state = opt.init(trainable_params(scene))
+    opt_state = opt.init(trainable_params(scene, groups, camera))
 
     use_fast = (
         _fast_eligible(scene, settings) if fast == "auto" else bool(fast)
@@ -144,11 +225,12 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
 
     def render(p, frame):
         s = apply_params(scene, p)
+        cam = apply_camera(camera, p)
         if use_fast:
-            return render_fast(s, frame)
+            return render_fast(s, cam, frame)
         if mesh is not None:
-            return render_sample_sharded(s, camera, settings, cfg, frame, mesh)
-        return render_sample_chw(s, camera, settings, cfg, frame)
+            return render_sample_sharded(s, cam, settings, cfg, frame, mesh)
+        return render_sample_chw(s, cam, settings, cfg, frame)
 
     @jax.jit
     def step(params, opt_state, frame):
@@ -166,25 +248,28 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         loss = jnp.mean(jnp.square(img_a - target))
         updates, opt_state2 = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        # keep albedo physical
-        params["albedo"] = jnp.clip(params["albedo"], 0.0, 1.0)
-        params["emission"] = jnp.maximum(params["emission"], 0.0)
+        params = constrain_params(params)
         return params, opt_state2, loss
 
     return step, opt_state
 
 
 def recover(scene_init, camera, settings, cfg, mesh, target, steps=100,
-            learning_rate=2e-2, log_every=0):
-    """Run the optimization loop; returns (final scene, loss history)."""
+            learning_rate=2e-2, log_every=0, groups=DEFAULT_GROUPS,
+            fast="auto"):
+    """Run the optimization loop; returns (final scene, loss history).
+    With the camera group, the recovered pose is applied to the returned
+    scene's camera via ``apply_camera`` — fetch it from the third element."""
     step, opt_state = make_train_step(
-        scene_init, camera, settings, cfg, mesh, target, learning_rate
+        scene_init, camera, settings, cfg, mesh, target, learning_rate,
+        fast=fast, groups=groups,
     )
-    params = trainable_params(scene_init)
+    params = trainable_params(scene_init, groups, camera)
     losses = []
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
         losses.append(float(loss))
         if log_every and i % log_every == 0:
             print(f"step {i}: loss {losses[-1]:.6f}")
-    return apply_params(scene_init, params), losses
+    return apply_params(scene_init, params), losses, apply_camera(
+        camera, params)
