@@ -82,40 +82,26 @@ def render_sample_sharded(scene, camera, settings: RenderSettings,
     return sampled[:, :n].reshape(3, cfg.height, cfg.width)
 
 
-def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
-                               cfg: FilmConfig, frame, mesh,
-                               interpret: bool = False):
-    """Path-kernel-backed sharded sample render -> f32[3,H,W].
+def _sharded_pixels_mode(scene, camera, settings: RenderSettings,
+                         cfg: FilmConfig, frame, mesh, pixel, mode,
+                         interpret):
+    """Shard an arbitrary pixel batch over the mesh and run ONE
+    kernel-resident integrator per shard -> f32[3, n].
 
-    The fused whole-path Pallas kernel (ops.pathkernel) runs per shard inside
-    shard_map: film tiles data-parallel over ``tiles``, decorrelated sample
-    sets over ``spp`` pmean'd across ICI, scene/camera replicated.  RNG is
-    keyed by global pixel id and traced salt counters, so for a 1-wide spp
-    axis the sharded image is bit-identical to the single-device fast path
-    (tested); spp ranks reproduce the XLA path's aa_offset salt layout.
-    """
+    Every mode rides the same kernels the single-chip display path uses
+    (render.py _trace_mode_kernel / _trace_mode_bigmesh): film pixels
+    data-parallel over ``tiles``, decorrelated sample sets over ``spp``
+    pmean'd across ICI, scene/camera replicated.  RNG is keyed by global
+    pixel id and traced salt counters, so for a 1-wide spp axis the sharded
+    image is bit-identical to the single-device fast path (tested); spp
+    ranks reproduce the XLA path's aa_offset salt layout."""
     from ..models.integrators import AA_STRIDE
     from ..ops.pathkernel import PathTracer, camera_params, is_bigmesh
-    from ..render import _INTEGRATOR_SITE, _JITTER_SITE, _block_order
+    from ..render import _trace_mode_bigmesh, _trace_mode_kernel
 
     n_tiles = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
-    pixel, _, _ = _pixel_grid(cfg)
-    inv_ord = block_meta = None
     bigmesh = is_bigmesh(scene)
-    if scene.bvh is not None and scene.num_triangles > 0:
-        # Mesh scenes (culled or chunked): arrange pixels into compact
-        # screen blocks BEFORE sharding, so each shard's kernel tiles stay
-        # frustum-tight (raw raster order would hand every tile a ~4-row
-        # film strip).  Prefer the gather-free padded block layout.
-        from ..render import _block_grid
-        grid = _block_grid(cfg.width, cfg.height)
-        if grid is not None:
-            pixel_np, block_meta = grid
-            pixel = jnp.asarray(pixel_np)
-        else:
-            order, inv_ord = _block_order(cfg.width, cfg.height)
-            pixel = pixel[order]
     n = pixel.shape[0]
     pad = (-n) % n_tiles
     if pad:
@@ -131,35 +117,25 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     )
     def tile_render(pixel, scene, cp, frame):
         from ..ops.pathkernel import BigMeshTracer
-        from ..render import jittered_camera_rays
 
         rank = jax.lax.axis_index(SPP_AXIS).astype(jnp.uint32)
         pt = BigMeshTracer(scene) if bigmesh else PathTracer(scene)
         acc_r = acc_g = acc_b = 0.0
         for i in range(settings.aa):
-            salt0 = (jnp.uint32(i) + rank * jnp.uint32(settings.aa)) * jnp.uint32(AA_STRIDE)
+            salt0 = (jnp.uint32(i) + rank * jnp.uint32(settings.aa)) \
+                * jnp.uint32(AA_STRIDE)
             if bigmesh:
-                # The chunked kernel has no in-kernel raygen; generate shard
-                # rays in XLA with the display path's exact jitter salts.
+                # The chunked kernels have no in-kernel raygen; rays are
+                # generated in XLA with the display path's exact salts.
                 xs = pixel % jnp.uint32(cfg.width)
                 ys = pixel // jnp.uint32(cfg.width)
-                ray = jittered_camera_rays(
-                    camera, cfg, pixel, xs, ys, frame, salt0)
-                r, g, b = pt.trace(
-                    pixel, ray.origin, ray.direction, frame,
-                    salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
-                    max_bounces=settings.max_bounces, style=settings.style,
-                    interpret=interpret,
-                )
+                r, g, b = _trace_mode_bigmesh(
+                    pt, camera, settings, cfg, pixel, xs, ys, frame,
+                    salt0, mode, interpret)
             else:
-                r, g, b = pt.trace(
-                    pixel, None, None, frame,
-                    salt_base=salt0 + jnp.uint32(_INTEGRATOR_SITE),
-                    max_bounces=settings.max_bounces, style=settings.style,
-                    gen_rays=True, cam_params=cp, cam_mode=camera.mode,
-                    jitter_salt=salt0 + jnp.uint32(_JITTER_SITE),
-                    interpret=interpret,
-                )
+                r, g, b = _trace_mode_kernel(
+                    pt, scene, camera, settings, cfg, cp, pixel, frame,
+                    salt0, mode, interpret=interpret)
             acc_r = acc_r + r
             acc_g = acc_g + g
             acc_b = acc_b + b
@@ -169,9 +145,53 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
             sampled = jax.lax.pmean(sampled, SPP_AXIS)
         return sampled
 
+    return tile_render(pixel, scene, cp, frame)[:, :n]
+
+
+def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
+                               cfg: FilmConfig, frame, mesh,
+                               interpret: bool = False):
+    """Path-kernel-backed sharded sample render -> f32[3,H,W].
+
+    Any integrator mode and 4-way split-screen, at any scene size — each
+    quadrant's pixels are sharded over the whole mesh in turn and the
+    quadrant rectangles reassembled with static slice updates, mirroring
+    the single-chip fast path (render.py _fast_chw_jit; reference
+    compute_pass.comp:134-144)."""
+    from ..render import _split_partition
     frame = jnp.asarray(frame, jnp.uint32)
-    sampled = tile_render(pixel, scene, cp, frame)
-    out = sampled[:, :n]
+    modes = set(settings.modes())
+
+    if len(modes) > 1:
+        parts = _split_partition(cfg, settings)
+        out = jnp.zeros((3, cfg.height, cfg.width), jnp.float32)
+        for m, (y0, y1, x0, x1), pix_np in parts:
+            vals = _sharded_pixels_mode(
+                scene, camera, settings, cfg, frame, mesh,
+                jnp.asarray(pix_np), m, interpret)
+            rect = vals.reshape(3, y1 - y0, x1 - x0)
+            out = jax.lax.dynamic_update_slice(out, rect, (0, y0, x0))
+        return out
+
+    (mode,) = modes
+    pixel, _, _ = _pixel_grid(cfg)
+    inv_ord = block_meta = None
+    if scene.bvh is not None and scene.num_triangles > 0:
+        # Mesh scenes (culled or chunked): arrange pixels into compact
+        # screen blocks BEFORE sharding, so each shard's kernel tiles stay
+        # frustum-tight (raw raster order would hand every tile a ~4-row
+        # film strip).  Prefer the gather-free padded block layout.
+        from ..render import _block_grid, _block_order
+        grid = _block_grid(cfg.width, cfg.height)
+        if grid is not None:
+            pixel_np, block_meta = grid
+            pixel = jnp.asarray(pixel_np)
+        else:
+            order, inv_ord = _block_order(cfg.width, cfg.height)
+            pixel = pixel[order]
+
+    out = _sharded_pixels_mode(
+        scene, camera, settings, cfg, frame, mesh, pixel, mode, interpret)
     if block_meta is not None:
         from ..render import _unblock
         return jnp.stack(
@@ -184,13 +204,11 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
 
 def _sharded_fast_eligible(scene, settings: RenderSettings) -> bool:
     """The sharded steady-state loop rides the fused path kernels whenever
-    the single-device display path would (render.py _megakernel_eligible) and
-    the frame is a single full-film Kajiya pass — the beauty-render hot loop.
-    Split-screen / debug modes stay on the XLA integrators per shard."""
+    the single-device display path would (render.py _megakernel_eligible) —
+    every integrator mode and split-screen included, at any scene size."""
     from ..render import _megakernel_eligible
 
-    return (set(settings.modes()) == {9}
-            and _megakernel_eligible(scene, settings))
+    return _megakernel_eligible(scene, settings)
 
 
 def render_frame_sharded(scene, camera, settings, cfg, film, dirty, mesh,

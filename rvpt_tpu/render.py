@@ -219,7 +219,7 @@ def render_sample_fast_chw(scene, camera, settings: RenderSettings,
 
 
 def _trace_mode_kernel(pt, scene, camera, settings, cfg, cam_params,
-                       pixel, frame, salt0, mode):
+                       pixel, frame, salt0, mode, interpret=None):
     """One kernel-resident integrator pass over a pixel batch -> (r, g, b).
     Jitter + camera ray generation run inside the kernels — the film output
     is the only ray-sized HBM traffic of the pass."""
@@ -227,8 +227,10 @@ def _trace_mode_kernel(pt, scene, camera, settings, cfg, cam_params,
     from .ops.pathkernel import PRIMARY_MODES, trace_hart
 
     # Off-TPU (forced-kernel tests, bench smoke) the kernels run in
-    # interpret mode — same auto rule as _bigmesh_chw.
-    interpret = not on_tpu()
+    # interpret mode — same auto rule as _bigmesh_chw.  Callers inside
+    # shard_map (parallel/sharded.py) pass their own flag.
+    if interpret is None:
+        interpret = not on_tpu()
     if mode == 10:
         return trace_hart(
             scene, pixel, frame, cam_params=cam_params,
