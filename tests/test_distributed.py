@@ -77,10 +77,102 @@ print("WORKER_OK", pid)
 """
 
 
+TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from rvpt_tpu.parallel.distributed import initialize_distributed
+
+import jax.extend.backend as jxb
+jxb.clear_backends()
+
+initialize_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+import jax.numpy as jnp
+from rvpt_tpu import FilmConfig, RenderSettings
+from rvpt_tpu.parallel import mesh as mesh_mod
+from rvpt_tpu.render import render_sample_chw
+from rvpt_tpu.train import inverse
+
+cfg = FilmConfig(width=32, height=16)
+st = RenderSettings(max_bounces=2, style="standard")
+from rvpt_tpu.scene import builtin
+scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+
+# Every input to the distributed step is replicated (identical on both
+# hosts); the film pixels are built INSIDE the jitted step and sharded over
+# the global (tiles,) mesh spanning both processes, so the shard_map
+# transpose's psum of the replicated scene cotangent crosses the DCN.
+target = jnp.zeros((3, cfg.height, cfg.width), jnp.float32)
+mesh = mesh_mod.make_mesh(8, 1, devices=jax.devices())
+
+step, opt_state = inverse.make_train_step(
+    scene, cam, st, cfg, mesh, target, fast="interpret")
+params = inverse.trainable_params(scene)
+new_params, _, loss = step(params, opt_state, jnp.uint32(0))
+loss = float(loss)
+assert np.isfinite(loss), loss
+
+# Single-process reference: the same step on THIS process's local devices
+# only (mesh=None).  The distributed step's psum'd gradient must reproduce
+# it (same RNG keyed by global pixel id; same dual-buffer estimator).
+step1, opt1 = inverse.make_train_step(
+    scene, cam, st, cfg, None, target, fast="interpret")
+ref_params, _, ref_loss = step1(params, opt1, jnp.uint32(0))
+assert np.allclose(loss, float(ref_loss), rtol=1e-5), (loss, float(ref_loss))
+for k in new_params:
+    a = np.asarray(new_params[k])
+    b = np.asarray(ref_params[k])
+    assert np.allclose(a, b, rtol=1e-4, atol=1e-6), (k, np.abs(a - b).max())
+
+if pid == 0:
+    np.save(out, np.asarray(new_params["materials.albedo"]))
+jax.distributed.shutdown()
+print("WORKER_OK", pid)
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+def test_two_process_training_step(tmp_path):
+    """A 2-process inverse-rendering step: the global (tiles,) mesh spans
+    both processes, so the shard_map-transpose psum of the replicated scene
+    gradient rides the DCN coordination path — and must reproduce the
+    single-process step's update exactly (VERDICT r3 item 7)."""
+    out = str(tmp_path / "albedo.npy")
+    worker_py = tmp_path / "train_worker.py"
+    worker_py.write_text(TRAIN_WORKER)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    for attempt in range(3):
+        procs, outputs = _run_workers(worker_py, out, env, _free_port())
+        if all(p.returncode == 0 for p in procs):
+            break
+        bindish = any("bind" in o.lower() or "address" in o.lower()
+                      for o in outputs)
+        if attempt == 2 or not bindish:
+            for p, stdout in zip(procs, outputs):
+                assert p.returncode == 0, f"worker failed:\n{stdout}"
+    assert "WORKER_OK 0" in outputs[0] + outputs[1]
+    got = np.load(out)
+    assert np.isfinite(got).all() and got.shape[-1] == 3
 
 
 def _run_workers(worker_py, out, env, port):
