@@ -122,6 +122,67 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- supplementary: mesh fwd+bwd (the north-star metric on the BVH
+    # scenes; VERDICT r3 gap — the culled/chunked gradient paths were only
+    # ever exercised interpret-mode on CPU).  The trace runs on block-grid
+    # pixel order like the display path (tight per-tile frusta); the loss
+    # is a radiance mean, so pixel order is irrelevant to the value.
+    from rvpt_tpu.render import _block_grid
+
+    pixel_blk_np, _bm = _block_grid(cfg.width, cfg.height)
+    pixel_blk = jnp.asarray(pixel_blk_np)
+    bxs = pixel_blk % jnp.uint32(cfg.width)
+    bys = pixel_blk // jnp.uint32(cfg.width)
+
+    for label, (g_scene, g_cam), g_bounces, g_iters in (
+        ("mesh-1282 fwd+bwd (SoA replay)", (mesh_scene, mesh_cam), 8, 3),
+        ("mesh-20482 fwd+bwd (chunked+SoA)", (big_scene, big_cam), 8, 2),
+    ):
+        try:
+            g_trace = make_fast_kajiya(g_scene, 16, g_bounces,
+                                       style="standard")
+            jb, _ = rng.uniform2(pixel_blk, jnp.uint32(0), jnp.uint32(0))
+            gcx = (bxs.astype(jnp.float32) + jb) / cfg.width
+            gcy = 1.0 - (bys.astype(jnp.float32) + jb) / cfg.height
+            g_ray = camera_mod.generate_rays(g_cam, gcx, gcy)
+
+            def g_loss(params, frame, _s=g_scene, _t=g_trace, _r=g_ray):
+                s = apply_params(_s, params)
+                img = _t(s, _r.origin, _r.direction, pixel_blk, frame)
+                return jnp.mean(img)
+
+            g_fn = jax.jit(jax.value_and_grad(g_loss))
+            g_params = trainable_params(g_scene)
+            t0 = time.perf_counter()
+            loss_g, grads_g = g_fn(g_params, jnp.uint32(0))
+            jax.block_until_ready((loss_g, grads_g))
+            print(f"{label}: compile+first {time.perf_counter()-t0:.1f}s "
+                  f"loss={float(loss_g):.4f}", file=sys.stderr)
+            dt_g = bench(lambda f: g_fn(g_params, f), jnp.uint32(1),
+                         iters=g_iters)
+            print(f"{label}: {dt_g*1e3:.2f} ms/frame -> "
+                  f"{width*height*g_bounces/dt_g/1e6:.1f} Mrays/s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — report, keep bench green
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+
+    # --- supplementary: the reference's exact default frame — 1024x512,
+    # rabbit.obj (143 tris, BVH), 8 bounces, 1 spp (main.cpp:96-107).
+    try:
+        rb_cfg = FilmConfig(width=1024, height=512)
+        rb_scene, rb_cam = builtin.rabbit(aspect=rb_cfg.aspect)
+        rb_settings = RenderSettings(max_bounces=8, aa=1)
+        rb_fwd = jax.jit(lambda f: render_sample_fast_chw(
+            rb_scene, rb_cam, rb_settings, rb_cfg, f))
+        dt_rb = bench(rb_fwd, jnp.uint32(1), iters=10)
+        print(f"reference-default frame (1024x512 rabbit x8): "
+              f"{dt_rb*1e3:.2f} ms/frame = {1.0/dt_rb:.0f} fps -> "
+              f"{1024*512*8/dt_rb/1e6:.1f} Mrays/s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"reference-default frame: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr)
+
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
     print(
