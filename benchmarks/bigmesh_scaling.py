@@ -27,9 +27,10 @@ SORT_BOUNCES = 3
 
 def make_fn(scene, cam, cfg, bounces, sort, cull=True):
     from rvpt_tpu.render import _block_grid, jittered_camera_rays
-    from rvpt_tpu.ops.pathkernel import BigMeshTracer
+    from rvpt_tpu.ops.pathkernel import BigMeshTracer, bigmesh_block_dims
 
-    pixel_np, _meta = _block_grid(cfg.width, cfg.height)
+    pixel_np, _meta = _block_grid(cfg.width, cfg.height,
+                                  *bigmesh_block_dims())
     pixel = jnp.asarray(pixel_np)
     xs = pixel % jnp.uint32(cfg.width)
     ys = pixel // jnp.uint32(cfg.width)
@@ -104,6 +105,21 @@ def main():
             global SORT_BOUNCES
             SORT_BOUNCES = int(a.split("=")[1])
             print(f"sort_bounces={SORT_BOUNCES}")
+        # A/B lever: (tiles,)-grid manual-DMA chunk loop vs the
+        # (tiles, chunks) pipeline (pathkernel.BIG_DMA_GRID).
+        if a.startswith("--dma="):
+            from rvpt_tpu.ops import pathkernel as pk
+
+            pk.BIG_DMA_GRID = a.split("=")[1] not in ("0", "false")
+            print(f"BIG_DMA_GRID={pk.BIG_DMA_GRID}")
+        # A/B lever: block-major narrow ray tiles (BIG_S x BIG_L rays per
+        # tile; 128 lanes = 1024 consecutive post-sort rays per tile).
+        if a.startswith("--biglanes="):
+            from rvpt_tpu.ops import pathkernel as pk
+
+            pk.BIG_L = int(a.split("=")[1])
+            print(f"BIG_L={pk.BIG_L} (tile={pk.BIG_S * pk.BIG_L} rays, "
+                  f"block={pk.bigmesh_block_dims()})")
     cfg = FilmConfig(width=1920, height=1080)
     bounces = 8
     rays = cfg.num_pixels * bounces

@@ -612,7 +612,7 @@ def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
         # min + first-row iota select (== ascending sequential updates).
         t_best, wnx, wny, wnz, wmat, wfam, widx = carry
         cmin = jnp.min(tm, axis=0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (K, S, L), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
         first = jnp.min(
             jnp.where(tm == cmin[None], rows, jnp.int32(2**30)), axis=0)
         oh = rows == first[None]
@@ -647,15 +647,17 @@ def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
 
 def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
             cull=None, live=None, cull_scratch=None):
-    """Closest-hit over all families.  Ray comps are [S, L]; returns winner
-    (t, nx, ny, nz, mat, fam, idx), all [S, L]."""
-    t_best = jnp.full((S, L), _BIG, jnp.float32)
-    wnx = jnp.zeros((S, L), jnp.float32)
-    wny = jnp.zeros((S, L), jnp.float32)
-    wnz = jnp.zeros((S, L), jnp.float32)
-    wmat = jnp.zeros((S, L), jnp.float32)
-    wfam = jnp.full((S, L), -1, jnp.int32)
-    widx = jnp.full((S, L), -1, jnp.int32)
+    """Closest-hit over all families.  Ray comps are [S, L] (or any 2-D
+    tile shape — shape-generic); returns winner (t, nx, ny, nz, mat, fam,
+    idx), same shape."""
+    rshape = ox.shape
+    t_best = jnp.full(rshape, _BIG, jnp.float32)
+    wnx = jnp.zeros(rshape, jnp.float32)
+    wny = jnp.zeros(rshape, jnp.float32)
+    wnz = jnp.zeros(rshape, jnp.float32)
+    wmat = jnp.zeros(rshape, jnp.float32)
+    wfam = jnp.full(rshape, -1, jnp.int32)
+    widx = jnp.full(rshape, -1, jnp.int32)
 
     oxb, oyb, ozb = ox[None], oy[None], oz[None]
     dxb, dyb, dzb = dx[None], dy[None], dz[None]
@@ -664,7 +666,7 @@ def _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz, mint,
         """Fold a candidate block [R,S,L] into the winner state."""
         t_best, wnx, wny, wnz, wmat, wfam, widx = carry
         cmin = jnp.min(tm, axis=0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, S, L), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n,) + rshape, 0)
         first = jnp.min(
             jnp.where(tm == cmin[None], rows, jnp.int32(2**30)), axis=0
         )
@@ -1931,7 +1933,8 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     #                  6 cluster bound strides per chunk (listing phase)
     #   tri_lanes      VMEM [n_chunks * BIG_CHUNK_T, 128] — triangle-row x
     #                  field-lane block per chunk (docstring layout note)
-    #   counts         SMEM [n_chunks * 2] — (sup_cnt, clu_cnt) per chunk
+    #   counts         SMEM [n_chunks * 1024] — (sup_cnt, clu_cnt) in
+    #                  slots 0/1 of each chunk's 1024-int stride
     bounds_packed = jnp.concatenate(
         [v.reshape(n_chunks, -1) for v in bound_tabs], axis=1
     ).reshape(-1)
@@ -2077,7 +2080,7 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
                   meta_key, mint, style, is_last, interpret, collect=False,
                   search_only=False):
     meta = dict(meta_key)
-    grid = pix.shape[0]
+    grid, rs, rl = pix.shape
     n_chunks = meta["n_chunks"]
     kern = make_bigmesh_kernel(meta, mint, style=style, is_last=is_last,
                                collect=collect, search_only=search_only)
@@ -2101,7 +2104,7 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
             (stride, 128), lambda t, c, wl_, cnt_: (wl_[t, c], 0),
             memory_space=pltpu.VMEM)
 
-    row = pl.BlockSpec((1, S, L), lambda t, c, wl_, cnt_: (t, 0, 0),
+    row = pl.BlockSpec((1, rs, rl), lambda t, c, wl_, cnt_: (t, 0, 0),
                        memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [tab_spec(v) for v in tables]
@@ -2109,17 +2112,17 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
                 + [row] * 17)
     if search_only:
         out_shapes = (
-            [jax.ShapeDtypeStruct((grid, S, L), jnp.float32)] * 5
-            + [jax.ShapeDtypeStruct((grid, S, L), jnp.int32)] * 2)
+            [jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)] * 5
+            + [jax.ShapeDtypeStruct((grid, rs, rl), jnp.int32)] * 2)
         n_out = 7
     else:
         out_shapes = [
-            jax.ShapeDtypeStruct((grid, S, L), jnp.float32)
+            jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)
             for _ in range(16)
         ]
         n_out = 16
         if collect:
-            out_shapes += [jax.ShapeDtypeStruct((grid, S, L), jnp.int32)] * 2
+            out_shapes += [jax.ShapeDtypeStruct((grid, rs, rl), jnp.int32)] * 2
             n_out = 18
     ctl = jnp.stack([jnp.asarray(frame, jnp.uint32),
                      jnp.asarray(salt, jnp.uint32)])
@@ -2128,8 +2131,8 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
         grid=(grid, n_chunks),
         in_specs=in_specs, out_specs=tuple([row] * n_out),
         scratch_shapes=[
-            pltpu.VMEM((5, S, L), jnp.float32),   # winner t/normal/mat
-            pltpu.VMEM((2, S, L), jnp.int32),     # winner fam/idx
+            pltpu.VMEM((5, rs, rl), jnp.float32),   # winner t/normal/mat
+            pltpu.VMEM((2, rs, rl), jnp.int32),     # winner fam/idx
             pltpu.SMEM((BIG_CHUNK_CLU,), jnp.int32),  # tile cluster list
         ],
     )
@@ -2137,6 +2140,255 @@ def _bigmesh_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
         kern, grid_spec=grid_spec,
         out_shape=tuple(out_shapes), interpret=interpret,
     )(wl, cnt, ctl, *tables, *chunk_tables, pix, *state)
+
+
+BIG_DMA_GRID = True   # route big-mesh launches through the (tiles,)-grid
+                      # manual-DMA kernel (False: (tiles, chunks) pipeline)
+
+# Big-mesh ray-tile shape.  The fused small-scene kernels keep fat
+# (8, 1024) tiles (S, L above); the big-mesh path can run narrower
+# BLOCK-MAJOR tiles — (8, 128) packs 1024 CONSECUTIVE post-sort rays per
+# tile, shrinking each tile's cluster-union 2-4.4x on fan-out bounces
+# (benchmarks/bigmesh_block_probe.py blockM rows) at 8x the per-tile
+# listing control flow; affordable only under the (tiles,)-grid DMA
+# kernel's small per-tile floor.  A/B via benchmarks/bigmesh_scaling.py
+# --biglanes=N.
+BIG_S = 8
+BIG_L = 1024
+
+
+def bigmesh_block_dims():
+    """Screen-block (bw, bh) whose bw*bh pixels fill ONE big-mesh ray
+    tile — primary tiles then cover compact screen rectangles, which is
+    what keeps the per-tile cluster cull tight (render._block_grid)."""
+    tile = BIG_S * BIG_L
+    if tile == 8192:
+        return 128, 64
+    if tile == 1024:
+        return 32, 32
+    bw = 1 << (tile.bit_length() // 2)
+    return bw, tile // bw
+
+
+def _to_btiles(x, fill=0.0):
+    """Flat [N] -> [grid, BIG_S, BIG_L] (padded): the big-mesh tile shape.
+    With BIG_L < L each tile holds consecutive rays of the caller's
+    (post-sort) order — the block-major layout — because reshape is
+    row-major; no transposes needed."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    tile = BIG_S * BIG_L
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(-1, BIG_S, BIG_L)
+
+
+def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
+                            search_only=False):
+    """(tiles,)-grid variant of make_bigmesh_kernel: ONE grid step per ray
+    tile; the tile's LISTED chunks stream through manual DMAs inside an
+    in-kernel ``fori_loop(0, cnt[t])`` — triangle rows HBM->VMEM double-
+    buffered, the chunk's 12 bound strides HBM->SMEM single-buffered (SMEM
+    is tiled (2,128): a size-1 leading-axis slice of a (2,N) SMEM scratch
+    fails alignment, and at 48 KB/chunk the un-overlapped copy costs
+    microseconds — benchmarks/dma_chunk_probe.py smemdma).
+
+    Motivation (measured, BASELINE.md round 3): the (tiles, chunk-slots)
+    pipeline pays ~5.5 us of per-grid-step operand machinery for every
+    chunk SLOT whether or not the tile listed the chunk — an 8-9 ms
+    no-walk floor per bounce at ico5 that scales with mesh size.  Here the
+    grid has no chunk axis: per-tile cost is proportional to the LISTED
+    chunk count alone, and the winner carry rides fori_loop registers
+    instead of VMEM scratch round-trips.  Semantics (seed search, walk
+    order, shading, collect/search_only outputs) match make_bigmesh_kernel
+    exactly — parity pinned by tests/test_bigmesh_modes.py running both.
+    Reference analog: the traversal skips subtrees the ray can't touch
+    (intersection.glsl:361-463)."""
+    chunk_meta = dict(meta, n_clu=BIG_CHUNK_CLU, n_sup=BIG_CHUNK_SUP)
+    bstride = 12 * BIG_BOUND_PAD
+
+    def kernel(wl_ref, cnt_ref, ctl_ref, *refs):
+        tri = dict(zip(TRI_FIELDS, refs[0:17]))       # dummy (has_tri False)
+        sph = dict(zip(SPH_FIELDS, refs[17:22]))
+        pln = dict(zip(PLN_FIELDS, refs[22:27]))
+        mat = dict(zip(MAT_FIELDS, refs[27:35]))
+        for d in (sph, pln, mat):
+            for k in d:
+                d[k] = d[k][...]
+        bounds_hbm = refs[35]     # [n_chunks * 12*BIG_BOUND_PAD] f32, HBM
+        tri_rows_hbm = refs[36]   # [n_chunks * BIG_CHUNK_T, 128] f32, HBM
+        cnts_ref = refs[37]       # FULL [n_chunks * 1024] i32, SMEM
+        pix_ref = refs[38]
+        state_refs = refs[39:55]
+        n_out = 7 if search_only else (18 if collect else 16)
+        outs = refs[55:55 + n_out]
+        rec_outs = ()
+        scratch_at = 55 + n_out
+        if collect and not search_only:
+            rec_outs, outs = outs[16:], outs[:16]
+        hitlist = refs[scratch_at]
+        tri_vmem = refs[scratch_at + 1]
+        bnd_smem = refs[scratch_at + 2]
+        tsem = refs[scratch_at + 3]
+        bsem = refs[scratch_at + 4]
+
+        t = pl.program_id(0)
+        frame = ctl_ref[0]
+        salt = ctl_ref[1]
+        pix = pix_ref[0]
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+         rr, rg, rb, act_f) = (r[0] for r in state_refs)
+        active = act_f > 0.0
+        n = cnt_ref[t]
+
+        def tri_dma(slot, j):
+            c = wl_ref[t, j]
+            return pltpu.make_async_copy(
+                tri_rows_hbm.at[pl.ds(c * BIG_CHUNK_T, BIG_CHUNK_T), :],
+                tri_vmem.at[slot],
+                tsem.at[slot],
+            )
+
+        def bnd_dma(j):
+            c = wl_ref[t, j]
+            return pltpu.make_async_copy(
+                bounds_hbm.at[pl.ds(c * bstride, bstride)],
+                bnd_smem,
+                bsem,
+            )
+
+        @pl.when(n > 0)
+        def _():
+            tri_dma(0, 0).start()
+            bnd_dma(0).start()
+
+        # Seed: dense sphere/plane search overlaps the chunk-0 DMAs.
+        carry0, _ = _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz,
+                            mint)
+
+        bounds_views = tuple(
+            _OffsetView(bnd_smem, j * BIG_BOUND_PAD) for j in range(12)
+        )
+
+        def loop(j, carry):
+            slot = jax.lax.rem(j, 2)
+            c = wl_ref[t, j]
+
+            @pl.when(j + 1 < n)
+            def _():
+                tri_dma(1 - slot, j + 1).start()
+
+            bnd_dma(j).wait()
+            tri_dma(slot, j).wait()
+            carry, _ = _culled_tris_rows(
+                bounds_views, tri_vmem.at[slot], chunk_meta,
+                ox, oy, oz, dx, dy, dz, mint,
+                active, (hitlist,), carry,
+                tri_base=c * BIG_CHUNK_T,
+                n_sup_dyn=cnts_ref[c * 1024],
+                n_clu_dyn=cnts_ref[c * 1024 + 1],
+            )
+
+            # The walk reads bnd_smem throughout (single buffer): the next
+            # chunk's bounds copy may start only after it finishes.
+            @pl.when(j + 1 < n)
+            def _():
+                bnd_dma(j + 1).start()
+
+            return carry
+
+        carry = jax.lax.fori_loop(0, n, loop, carry0)
+
+        if search_only:
+            for ref, val in zip(outs, carry):
+                ref[0] = val
+            return
+        state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+                 rr, rg, rb, active)
+        if collect:
+            hitmask = active & (carry[5] >= 0)
+            rec_outs[0][0] = jnp.where(hitmask, carry[5], -1)
+            rec_outs[1][0] = jnp.where(hitmask, carry[6], -1)
+        new = _shade(mat, meta, pix, frame, salt, state, carry)
+        (ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, cr2, cg2, cb2,
+         rr2, rg2, rb2, active2) = new
+        if is_last and style == "standard":
+            rr2 = jnp.where(active2, rr2 + cr2, rr2)
+            rg2 = jnp.where(active2, rg2 + cg2, rg2)
+            rb2 = jnp.where(active2, rb2 + cb2, rb2)
+        for ref, val in zip(outs, (
+            ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
+            cr2, cg2, cb2, rr2, rg2, rb2, active2.astype(jnp.float32),
+        )):
+            ref[0] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "meta_key", "mint", "style", "is_last", "interpret", "collect",
+    "search_only"))
+def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
+                      meta_key, mint, style, is_last, interpret,
+                      collect=False, search_only=False):
+    meta = dict(meta_key)
+    grid, rs, rl = pix.shape
+    kern = make_bigmesh_dma_kernel(meta, mint, style=style, is_last=is_last,
+                                   collect=collect, search_only=search_only)
+    bounds_packed, tri_lanes, counts = chunk_tables
+
+    def tab_spec(v):
+        return pl.BlockSpec(v.shape, lambda t, wl_, cnt_: (0,) * v.ndim,
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, rs, rl), lambda t, wl_, cnt_: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [tab_spec(v) for v in tables]
+                + [pl.BlockSpec(memory_space=pltpu.HBM),   # bounds strides
+                   pl.BlockSpec(memory_space=pltpu.HBM),   # triangle rows
+                   pl.BlockSpec(memory_space=pltpu.SMEM)]  # counts, whole
+                + [row] * 17)
+    if search_only:
+        out_shapes = (
+            [jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)] * 5
+            + [jax.ShapeDtypeStruct((grid, rs, rl), jnp.int32)] * 2)
+        n_out = 7
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)
+            for _ in range(16)
+        ]
+        n_out = 16
+        if collect:
+            out_shapes += [jax.ShapeDtypeStruct((grid, rs, rl), jnp.int32)] * 2
+            n_out = 18
+    ctl = jnp.stack([jnp.asarray(frame, jnp.uint32),
+                     jnp.asarray(salt, jnp.uint32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=in_specs, out_specs=tuple([row] * n_out),
+        scratch_shapes=[
+            pltpu.SMEM((BIG_CHUNK_CLU,), jnp.int32),       # tile cluster list
+            pltpu.VMEM((2, BIG_CHUNK_T, 128), jnp.float32),  # tri dbl-buffer
+            pltpu.SMEM((12 * BIG_BOUND_PAD,), jnp.float32),  # chunk bounds
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=tuple(out_shapes), interpret=interpret,
+    )(wl, cnt, ctl, *tables, bounds_packed, tri_lanes, counts, pix, *state)
+
+
+def _bigmesh_launch(*args, **kw):
+    """Dispatch a big-mesh bounce launch to the (tiles,)-grid manual-DMA
+    kernel (BIG_DMA_GRID, the default) or the (tiles, chunks) pipeline."""
+    call = _bigmesh_dma_call if BIG_DMA_GRID else _bigmesh_call
+    return call(*args, **kw)
 
 
 def _morton7(q):
@@ -2295,7 +2547,7 @@ def make_bigmesh_hart_kernel(meta):
 
         @pl.when(c == 0)
         def _init():
-            d2min_ref[0] = jnp.full((S, L), _BIG, jnp.float32)
+            d2min_ref[0] = jnp.full(d2min_ref.shape[1:], _BIG, jnp.float32)
 
         def box_d2(lx, ly, lz, hx, hy, hz):
             ex = jnp.maximum(jnp.maximum(lx - px, px - hx), 0.0)
@@ -2369,14 +2621,15 @@ def _bigmesh_hart_call(chunk_tables, p3, live, meta_key, interpret):
         return pl.BlockSpec((stride, 128), lambda t, c: (c, 0),
                             memory_space=pltpu.VMEM)
 
-    row = pl.BlockSpec((1, S, L), lambda t, c: (t, 0, 0),
+    grid2, rs, rl = p3[0].shape
+    row = pl.BlockSpec((1, rs, rl), lambda t, c: (t, 0, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern, grid=(grid, n_chunks),
         in_specs=[chunk_spec(v) for v in chunk_tables] + [row] * 4,
         out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((grid, S, L), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, S, L), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, rs, rl), jnp.float32)],
         interpret=interpret,
     )(*chunk_tables, *p3, live)
 
@@ -2443,7 +2696,7 @@ class BigMeshTracer:
         is exactly the kernel's own supergroup listing test hoisted to tile
         granularity)."""
         n = pixel.shape[0]
-        pix = _to_tiles(pixel)
+        pix = _to_btiles(pixel)
         if isinstance(origin, tuple):
             o0, o1, o2 = origin
             d0, d1, d2 = direction
@@ -2452,7 +2705,7 @@ class BigMeshTracer:
             d0, d1, d2 = direction[:, 0], direction[:, 1], direction[:, 2]
         ones = jnp.ones_like(pix, jnp.float32)
         zeros = jnp.zeros_like(pix, jnp.float32)
-        state = tuple(_to_tiles(v) for v in (o0, o1, o2, d0, d1, d2)) + (
+        state = tuple(_to_btiles(v) for v in (o0, o1, o2, d0, d1, d2)) + (
             ones, ones, ones, zeros, zeros, zeros, zeros, zeros, zeros, ones,
         )
         frame = jnp.asarray(frame, jnp.uint32)
@@ -2478,7 +2731,7 @@ class BigMeshTracer:
                     state, *self.sup_boxes, self.mint)
             else:
                 wl, cnt = _bigmesh_full_worklist(pix.shape[0], n_chunks)
-            outs = _bigmesh_call(
+            outs = _bigmesh_launch(
                 frame, jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(b * 4),
                 self.tables, self.chunk_tables, pix, state, wl, cnt,
                 self.meta_key, self.mint, style,
@@ -2541,7 +2794,7 @@ class BigMeshTracer:
         else:
             wl, cnt = _bigmesh_full_worklist(
                 pix.shape[0], self.meta["n_chunks"])
-        return _bigmesh_call(
+        return _bigmesh_launch(
             jnp.asarray(frame, jnp.uint32), jnp.uint32(0), self.tables,
             self.chunk_tables, pix, state, wl, cnt, self.meta_key,
             self.mint, "reference", False, interpret, search_only=True)
@@ -2554,9 +2807,9 @@ class BigMeshTracer:
         further chunked occlusion launches.  Rays arrive from the XLA
         raygen (render.py), so jitter matches the XLA integrators."""
         n = pixel.shape[0]
-        pix = _to_tiles(pixel)
-        o3 = tuple(_to_tiles(origin[:, k]) for k in range(3))
-        d3 = tuple(_to_tiles(direction[:, k]) for k in range(3))
+        pix = _to_btiles(pixel)
+        o3 = tuple(_to_btiles(origin[:, k]) for k in range(3))
+        d3 = tuple(_to_btiles(direction[:, k]) for k in range(3))
         frame = jnp.asarray(frame, jnp.uint32)
         live = jnp.ones_like(o3[0], bool)
 
@@ -2580,9 +2833,9 @@ class BigMeshTracer:
         chunked shadow launch per bounce; Cook one tail resolve launch,
         integrators.glsl:483-487)."""
         n = pixel.shape[0]
-        pix = _to_tiles(pixel)
-        o3 = tuple(_to_tiles(origin[:, k]) for k in range(3))
-        d3 = tuple(_to_tiles(direction[:, k]) for k in range(3))
+        pix = _to_btiles(pixel)
+        o3 = tuple(_to_btiles(origin[:, k]) for k in range(3))
+        d3 = tuple(_to_btiles(direction[:, k]) for k in range(3))
         ones = jnp.ones_like(pix, jnp.float32)
         zeros = jnp.zeros_like(pix, jnp.float32)
         # Whitted starts its path color at the ambient term
@@ -2649,8 +2902,8 @@ class BigMeshTracer:
         culling).  Whole-film convergence still pays the remaining
         launches' floors; the per-tile live gate skips their folds."""
         n = pixel.shape[0]
-        o3 = tuple(_to_tiles(origin[:, k]) for k in range(3))
-        d3 = tuple(_to_tiles(direction[:, k]) for k in range(3))
+        o3 = tuple(_to_btiles(origin[:, k]) for k in range(3))
+        d3 = tuple(_to_btiles(direction[:, k]) for k in range(3))
         t0 = jnp.float32(mint)
         px, py, pz = (o + t0 * d for o, d in zip(o3, d3))
         iters = jnp.full(px.shape, MARCH_ITER, jnp.int32)

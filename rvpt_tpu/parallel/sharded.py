@@ -181,13 +181,16 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
         # screen blocks BEFORE sharding, so each shard's kernel tiles stay
         # frustum-tight (raw raster order would hand every tile a ~4-row
         # film strip).  Prefer the gather-free padded block layout.
+        from ..ops.pathkernel import bigmesh_block_dims, is_bigmesh
         from ..render import _block_grid, _block_order
-        grid = _block_grid(cfg.width, cfg.height)
+        bw, bh = bigmesh_block_dims() if is_bigmesh(scene) else (128, 64)
+        grid = _block_grid(cfg.width, cfg.height, bw, bh)
         if grid is not None:
             pixel_np, block_meta = grid
             pixel = jnp.asarray(pixel_np)
         else:
-            order, inv_ord = _block_order(cfg.width, cfg.height)
+            order, inv_ord = _block_order(cfg.width, cfg.height, bw=bw,
+                                          bh=bh)
             pixel = pixel[order]
 
     out = _sharded_pixels_mode(

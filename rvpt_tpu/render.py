@@ -409,11 +409,14 @@ def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     from .ops.intersect import on_tpu
     from .ops.pathkernel import BigMeshTracer
 
+    from .ops.pathkernel import bigmesh_block_dims
+
     bt = BigMeshTracer(scene)
     interpret = not on_tpu()
     frame = jnp.asarray(frame, jnp.uint32)
     modes = set(settings.modes())
     scale = 1.0 / settings.aa
+    bw, bh = bigmesh_block_dims()
 
     if len(modes) > 1:
         # Split-screen: per-quadrant pixel batches, rect reassembly via
@@ -437,7 +440,7 @@ def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         return out
 
     (mode,) = modes
-    grid = _block_grid(cfg.width, cfg.height)
+    grid = _block_grid(cfg.width, cfg.height, bw, bh)
     inv_ord = block_meta = None
     if grid is not None:
         pixel_np, block_meta = grid
@@ -446,7 +449,7 @@ def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         ys = pixel // jnp.uint32(cfg.width)
     else:
         pixel, xs, ys = _pixel_grid(cfg)
-        order, inv_ord = _block_order(cfg.width, cfg.height)
+        order, inv_ord = _block_order(cfg.width, cfg.height, bw=bw, bh=bh)
         pixel, xs, ys = pixel[order], xs[order], ys[order]
     acc_r = acc_g = acc_b = 0.0
     for i in range(settings.aa):
