@@ -1110,16 +1110,16 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             active = act_r[0] > 0.0
             final = act_r[0] > 1.5
         else:
-            ones = jnp.ones((S, L), jnp.float32)
-            zeros = jnp.zeros((S, L), jnp.float32)
+            ones = jnp.ones(pix.shape, jnp.float32)
+            zeros = jnp.zeros(pix.shape, jnp.float32)
             tr = tg = tb = ones
             # Whitted starts its path color at the ambient term
             # (integrators.glsl:272; models/integrators.py init).
-            amb = jnp.full((S, L), _AMBIENT, jnp.float32)
+            amb = jnp.full(pix.shape, _AMBIENT, jnp.float32)
             cr = cg = cb = amb if integ == "whitted" else zeros
             rr = rg = rb = zeros
-            active = jnp.ones((S, L), bool)
-            final = jnp.zeros((S, L), bool)
+            active = jnp.ones(pix.shape, bool)
+            final = jnp.zeros(pix.shape, bool)
 
         outs = refs[pos:]
         carry_out = outs[:16]
@@ -1134,7 +1134,7 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
         for b in range(nb):
             if collect:
                 # Save the 13 bounce-input fields: o, d, thr, col, active.
-                sl = slice(b * S, (b + 1) * S)
+                sl = slice(b * pix.shape[0], (b + 1) * pix.shape[0])
                 for f, val in enumerate(state[:12]):
                     state_outs[f][0, sl, :] = val
                 state_outs[12][0, sl, :] = state[15].astype(jnp.float32)
@@ -1183,7 +1183,7 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             rg = jnp.where(fin, rg + cg + tg * jnp.where(hit2, m2["eg"], sky_g), rg)
             rb = jnp.where(fin, rb + cb + tb * jnp.where(hit2, m2["eb"], sky_b), rb)
             active = active & ~final
-            final = jnp.zeros((S, L), bool)
+            final = jnp.zeros(pix.shape, bool)
         if is_last and style == "standard":
             rr = jnp.where(active, rr + cr, rr)
             rg = jnp.where(active, rg + cg, rg)
@@ -1197,7 +1197,7 @@ def make_path_kernel(meta, mint, nb, *, gen_rays, cam_mode,
             ref[0] = val
         if stats:
             for ref, val in zip(stat_outs, stat_acc):
-                ref[0] = jnp.full((S, L), val, jnp.float32)
+                ref[0] = jnp.full(pix.shape, val, jnp.float32)
 
     return kernel
 
@@ -1222,9 +1222,10 @@ def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
         return pl.BlockSpec(v.shape, lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    row = pl.BlockSpec((1, S, L), lambda i: (i, 0, 0),
+    grid_, rs, rl = pix.shape
+    row = pl.BlockSpec((1, rs, rl), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    srow = pl.BlockSpec((1, nb * S, L), lambda i: (i, 0, 0),
+    srow = pl.BlockSpec((1, nb * rs, rl), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     args = [None]  # ctl placeholder, filled below
@@ -1247,14 +1248,14 @@ def _path_call(frame, salt_base, jitter_salt, cam_params, tables, cull_tables,
         in_specs += [row] * 10
         args += list(carry)
 
-    out_shapes = [jax.ShapeDtypeStruct((grid, S, L), jnp.float32)] * 16
+    out_shapes = [jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)] * 16
     out_specs = [row] * 16
     if collect:
-        out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.float32)] * 13
-        out_shapes += [jax.ShapeDtypeStruct((grid, nb * S, L), jnp.int32)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((grid, nb * rs, rl), jnp.float32)] * 13
+        out_shapes += [jax.ShapeDtypeStruct((grid, nb * rs, rl), jnp.int32)] * 2
         out_specs += [srow] * 15
     if stats:
-        out_shapes += [jax.ShapeDtypeStruct((grid, S, L), jnp.float32)] * 3
+        out_shapes += [jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)] * 3
         out_specs += [row] * 3
     ctl = jnp.stack([
         jnp.asarray(frame, jnp.uint32),
@@ -1650,7 +1651,8 @@ class PathTracer:
         if integ != "kajiya" and collect_states:
             raise ValueError("hit records are a Kajiya-only path")
         n = pixel.shape[0]
-        pix = _to_tiles(pixel)
+        tiles = _to_ctiles if self.meta.get("culled") else _to_tiles
+        pix = tiles(pixel)
         if gen_rays:
             rays = None
         else:
@@ -1660,7 +1662,7 @@ class PathTracer:
             else:
                 o0, o1, o2 = origin[:, 0], origin[:, 1], origin[:, 2]
                 d0, d1, d2 = direction[:, 0], direction[:, 1], direction[:, 2]
-            rays = tuple(_to_tiles(c) for c in (o0, o1, o2, d0, d1, d2))
+            rays = tuple(tiles(c) for c in (o0, o1, o2, d0, d1, d2))
 
         frame = jnp.asarray(frame, jnp.uint32)
         groups = _groups(max_bounces)
@@ -1706,7 +1708,7 @@ class PathTracer:
         """Single-intersection debug integrator (mode in PRIMARY_MODES) with
         in-kernel ray generation — see make_primary_kernel."""
         n = pixel.shape[0]
-        pix = _to_tiles(pixel)
+        pix = (_to_ctiles if self.meta.get("culled") else _to_tiles)(pixel)
         r, g, b = _primary_call(
             jnp.asarray(frame, jnp.uint32),
             jnp.asarray(salt_base, jnp.uint32),
@@ -1722,9 +1724,10 @@ class PathTracer:
         the flat hit-record layout of the SoA replay path."""
         fams, idxs = [], []
         for g, _, fam, idx in record["groups"]:
+            rs = fam.shape[1] // g
             for b in range(g):
-                fams.append(_from_tiles(fam[:, b * S:(b + 1) * S, :], n))
-                idxs.append(_from_tiles(idx[:, b * S:(b + 1) * S, :], n))
+                fams.append(_from_tiles(fam[:, b * rs:(b + 1) * rs, :], n))
+                idxs.append(_from_tiles(idx[:, b * rs:(b + 1) * rs, :], n))
         return jnp.stack(fams), jnp.stack(idxs)
 
 
@@ -2156,18 +2159,44 @@ BIG_DMA_GRID = True   # route big-mesh launches through the (tiles,)-grid
 BIG_S = 8
 BIG_L = 1024
 
+# SMEM culled-path (<= CULL_MAX_TRIS) ray-tile shape — same block-major
+# lever as BIG_S/BIG_L, A/B'd independently because the whole-path fused
+# kernel amortizes per-tile work differently than the per-bounce chunked
+# launches.
+CULL_S = 8
+CULL_L = 1024
 
-def bigmesh_block_dims():
-    """Screen-block (bw, bh) whose bw*bh pixels fill ONE big-mesh ray
-    tile — primary tiles then cover compact screen rectangles, which is
-    what keeps the per-tile cluster cull tight (render._block_grid)."""
-    tile = BIG_S * BIG_L
+
+def _block_dims_for(tile):
     if tile == 8192:
         return 128, 64
     if tile == 1024:
         return 32, 32
     bw = 1 << (tile.bit_length() // 2)
     return bw, tile // bw
+
+
+def bigmesh_block_dims():
+    """Screen-block (bw, bh) whose bw*bh pixels fill ONE big-mesh ray
+    tile — primary tiles then cover compact screen rectangles, which is
+    what keeps the per-tile cluster cull tight (render._block_grid)."""
+    return _block_dims_for(BIG_S * BIG_L)
+
+
+def culled_block_dims():
+    """Screen-block (bw, bh) for the SMEM culled path's ray tiles."""
+    return _block_dims_for(CULL_S * CULL_L)
+
+
+def _to_ctiles(x, fill=0.0):
+    """Flat [N] -> [grid, CULL_S, CULL_L] (padded): culled-path tiles."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    tile = CULL_S * CULL_L
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(-1, CULL_S, CULL_L)
 
 
 def _to_btiles(x, fill=0.0):
@@ -2220,13 +2249,21 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
         tri_rows_hbm = refs[36]   # [n_chunks * BIG_CHUNK_T, 128] f32, HBM
         cnts_ref = refs[37]       # FULL [n_chunks * 1024] i32, SMEM
         pix_ref = refs[38]
-        state_refs = refs[39:55]
-        n_out = 7 if search_only else (18 if collect else 16)
-        outs = refs[55:55 + n_out]
-        rec_outs = ()
-        scratch_at = 55 + n_out
-        if collect and not search_only:
-            rec_outs, outs = outs[16:], outs[:16]
+        state_ref = refs[39]      # PACKED [1, 16, rs, rl] f32
+        # State/outputs ride ONE packed 4-D operand each: SMEM holds ~16 B
+        # of pipeline machinery per (operand x grid step), so 33 separate
+        # row operands overflowed the 1 MB SMEM at 2040 block-major tiles
+        # (measured: "used 1.08M of 1.00M"); packing also cuts the
+        # per-step index-map/elision work that was the pipeline's floor.
+        if search_only:
+            outs = refs[40:42]    # f32 [1,5,rs,rl], i32 [1,2,rs,rl]
+            scratch_at = 42
+        elif collect:
+            outs = refs[40:42]    # f32 [1,16,rs,rl], i32 [1,2,rs,rl]
+            scratch_at = 42
+        else:
+            outs = refs[40:41]
+            scratch_at = 41
         hitlist = refs[scratch_at]
         tri_vmem = refs[scratch_at + 1]
         bnd_smem = refs[scratch_at + 2]
@@ -2238,7 +2275,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
         salt = ctl_ref[1]
         pix = pix_ref[0]
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
-         rr, rg, rb, act_f) = (r[0] for r in state_refs)
+         rr, rg, rb, act_f) = (state_ref[0, i] for i in range(16))
         active = act_f > 0.0
         n = cnt_ref[t]
 
@@ -2301,15 +2338,17 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
         carry = jax.lax.fori_loop(0, n, loop, carry0)
 
         if search_only:
-            for ref, val in zip(outs, carry):
-                ref[0] = val
+            for i in range(5):
+                outs[0][0, i] = carry[i]
+            outs[1][0, 0] = carry[5]
+            outs[1][0, 1] = carry[6]
             return
         state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
                  rr, rg, rb, active)
         if collect:
             hitmask = active & (carry[5] >= 0)
-            rec_outs[0][0] = jnp.where(hitmask, carry[5], -1)
-            rec_outs[1][0] = jnp.where(hitmask, carry[6], -1)
+            outs[1][0, 0] = jnp.where(hitmask, carry[5], -1)
+            outs[1][0, 1] = jnp.where(hitmask, carry[6], -1)
         new = _shade(mat, meta, pix, frame, salt, state, carry)
         (ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, cr2, cg2, cb2,
          rr2, rg2, rb2, active2) = new
@@ -2317,11 +2356,11 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
             rr2 = jnp.where(active2, rr2 + cr2, rr2)
             rg2 = jnp.where(active2, rg2 + cg2, rg2)
             rb2 = jnp.where(active2, rb2 + cb2, rb2)
-        for ref, val in zip(outs, (
+        for i, val in enumerate((
             ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
             cr2, cg2, cb2, rr2, rg2, rb2, active2.astype(jnp.float32),
         )):
-            ref[0] = val
+            outs[0][0, i] = val
 
     return kernel
 
@@ -2344,32 +2383,37 @@ def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
 
     row = pl.BlockSpec((1, rs, rl), lambda t, wl_, cnt_: (t, 0, 0),
                        memory_space=pltpu.VMEM)
+
+    def pack_spec(k):
+        return pl.BlockSpec((1, k, rs, rl), lambda t, wl_, cnt_: (t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [tab_spec(v) for v in tables]
                 + [pl.BlockSpec(memory_space=pltpu.HBM),   # bounds strides
                    pl.BlockSpec(memory_space=pltpu.HBM),   # triangle rows
                    pl.BlockSpec(memory_space=pltpu.SMEM)]  # counts, whole
-                + [row] * 17)
+                + [row, pack_spec(16)])
+    # State and outputs are PACKED 4-D operands (one f32 block + one i32
+    # block) — see the kernel's SMEM-machinery note.
+    state_p = jnp.stack(state, axis=1)                     # [grid,16,rs,rl]
     if search_only:
-        out_shapes = (
-            [jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)] * 5
-            + [jax.ShapeDtypeStruct((grid, rs, rl), jnp.int32)] * 2)
-        n_out = 7
+        out_shapes = [jax.ShapeDtypeStruct((grid, 5, rs, rl), jnp.float32),
+                      jax.ShapeDtypeStruct((grid, 2, rs, rl), jnp.int32)]
+        out_specs = [pack_spec(5), pack_spec(2)]
+    elif collect:
+        out_shapes = [jax.ShapeDtypeStruct((grid, 16, rs, rl), jnp.float32),
+                      jax.ShapeDtypeStruct((grid, 2, rs, rl), jnp.int32)]
+        out_specs = [pack_spec(16), pack_spec(2)]
     else:
-        out_shapes = [
-            jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)
-            for _ in range(16)
-        ]
-        n_out = 16
-        if collect:
-            out_shapes += [jax.ShapeDtypeStruct((grid, rs, rl), jnp.int32)] * 2
-            n_out = 18
+        out_shapes = [jax.ShapeDtypeStruct((grid, 16, rs, rl), jnp.float32)]
+        out_specs = [pack_spec(16)]
     ctl = jnp.stack([jnp.asarray(frame, jnp.uint32),
                      jnp.asarray(salt, jnp.uint32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=in_specs, out_specs=tuple([row] * n_out),
+        in_specs=in_specs, out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.SMEM((BIG_CHUNK_CLU,), jnp.int32),       # tile cluster list
             pltpu.VMEM((2, BIG_CHUNK_T, 128), jnp.float32),  # tri dbl-buffer
@@ -2378,10 +2422,19 @@ def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=tuple(out_shapes), interpret=interpret,
-    )(wl, cnt, ctl, *tables, bounds_packed, tri_lanes, counts, pix, *state)
+    )(wl, cnt, ctl, *tables, bounds_packed, tri_lanes, counts, pix, state_p)
+    # Unpack to the pipeline call's flat output convention.
+    if search_only:
+        f, i = outs
+        return tuple(f[:, k] for k in range(5)) + (i[:, 0], i[:, 1])
+    if collect:
+        f, i = outs
+        return tuple(f[:, k] for k in range(16)) + (i[:, 0], i[:, 1])
+    (f,) = outs
+    return tuple(f[:, k] for k in range(16))
 
 
 def _bigmesh_launch(*args, **kw):
@@ -3074,7 +3127,7 @@ def make_primary_kernel(meta, mint, *, mode, cam_mode, nrays):
         ox, oy, oz, dx, dy, dz = _gen_rays_inkernel(
             cam_ref, pix, frame, jitter_salt, cam_mode
         )
-        live = jnp.ones((S, L), bool)
+        live = jnp.ones(pix.shape, bool)
 
         def search(o3, d3, mask):
             winner, _ = _search(tri, sph, pln, meta, *o3, *d3, mint,
@@ -3103,12 +3156,13 @@ def _primary_call(frame, salt_base, jitter_salt, cam_params, tables,
     grid = pix.shape[0]
     kern = make_primary_kernel(meta, mint, mode=mode, cam_mode=cam_mode,
                                nrays=nrays)
+    _, rs, rl = pix.shape
 
     def tab_spec(v):
         return pl.BlockSpec(v.shape, lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    row = pl.BlockSpec((1, S, L), lambda i: (i, 0, 0),
+    row = pl.BlockSpec((1, rs, rl), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -3133,7 +3187,8 @@ def _primary_call(frame, salt_base, jitter_salt, cam_params, tables,
         in_specs=in_specs,
         out_specs=tuple([row] * 3),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((grid, S, L), jnp.float32) for _ in range(3)
+            jax.ShapeDtypeStruct((grid, rs, rl), jnp.float32)
+            for _ in range(3)
         ),
         interpret=interpret, scratch_shapes=scratch,
     )(*args)

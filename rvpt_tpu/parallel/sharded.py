@@ -181,9 +181,11 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
         # screen blocks BEFORE sharding, so each shard's kernel tiles stay
         # frustum-tight (raw raster order would hand every tile a ~4-row
         # film strip).  Prefer the gather-free padded block layout.
-        from ..ops.pathkernel import bigmesh_block_dims, is_bigmesh
+        from ..ops.pathkernel import (bigmesh_block_dims, culled_block_dims,
+                                      is_bigmesh)
         from ..render import _block_grid, _block_order
-        bw, bh = bigmesh_block_dims() if is_bigmesh(scene) else (128, 64)
+        bw, bh = (bigmesh_block_dims() if is_bigmesh(scene)
+                  else culled_block_dims())
         grid = _block_grid(cfg.width, cfg.height, bw, bh)
         if grid is not None:
             pixel_np, block_meta = grid

@@ -337,12 +337,14 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     if pt.meta.get("culled"):
         # Compact-block tile order: tightens the per-tile cluster cull.
         # Prefer the gather-free padded layout (reshapes only).
-        grid = _block_grid(cfg.width, cfg.height)
+        from .ops.pathkernel import culled_block_dims
+        cbw, cbh = culled_block_dims()
+        grid = _block_grid(cfg.width, cfg.height, cbw, cbh)
         if grid is not None:
             pixel_np, block_meta = grid
             pixel = jnp.asarray(pixel_np)
         else:
-            order, inv = _block_order(cfg.width, cfg.height)
+            order, inv = _block_order(cfg.width, cfg.height, bw=cbw, bh=cbh)
             pixel = pixel[order]
     acc_r = acc_g = acc_b = 0.0
     for i in range(settings.aa):
