@@ -2238,32 +2238,38 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
     bstride = 12 * BIG_BOUND_PAD
 
     def kernel(wl_ref, cnt_ref, ctl_ref, *refs):
-        tri = dict(zip(TRI_FIELDS, refs[0:17]))       # dummy (has_tri False)
-        sph = dict(zip(SPH_FIELDS, refs[17:22]))
-        pln = dict(zip(PLN_FIELDS, refs[22:27]))
-        mat = dict(zip(MAT_FIELDS, refs[27:35]))
-        for d in (sph, pln, mat):
-            for k in d:
-                d[k] = d[k][...]
-        bounds_hbm = refs[35]     # [n_chunks * 12*BIG_BOUND_PAD] f32, HBM
-        tri_rows_hbm = refs[36]   # [n_chunks * BIG_CHUNK_T, 128] f32, HBM
-        cnts_ref = refs[37]       # FULL [n_chunks * 1024] i32, SMEM
-        pix_ref = refs[38]
-        state_ref = refs[39]      # PACKED [1, 16, rs, rl] f32
-        # State/outputs ride ONE packed 4-D operand each: SMEM holds ~16 B
-        # of pipeline machinery per (operand x grid step), so 33 separate
-        # row operands overflowed the 1 MB SMEM at 2040 block-major tiles
-        # (measured: "used 1.08M of 1.00M"); packing also cuts the
-        # per-step index-map/elision work that was the pipeline's floor.
+        # Mosaic/XLA reserve ~12 B of SMEM per (operand x grid step) for
+        # pipeline bookkeeping — EVERY operand, constant-indexed tables
+        # included: 39 operands x 2040 block-major tiles measured 1.08 MB
+        # against the 1 MB SMEM budget.  So this kernel takes the fewest
+        # possible operands: the 17 triangle search tables are dummies on
+        # the chunked path (pack_fwd culled=True) and are built in-kernel;
+        # each small family rides ONE [rows, n_fields] lane-table; state
+        # and outputs ride one packed 4-D block each.
+        tri = {k: jnp.zeros((1, 1, 1), jnp.float32) for k in TRI_FIELDS}
+
+        def unpack(ref, fields):
+            a = ref[...]
+            return {k: a[:, j:j + 1][:, :, None]
+                    for j, k in enumerate(fields)}
+
+        sph = unpack(refs[0], SPH_FIELDS)
+        pln = unpack(refs[1], PLN_FIELDS)
+        mat = unpack(refs[2], MAT_FIELDS)
+        bounds_hbm = refs[3]      # [n_chunks * 12*BIG_BOUND_PAD] f32, HBM
+        tri_rows_hbm = refs[4]    # [n_chunks * BIG_CHUNK_T, 128] f32, HBM
+        cnts_ref = refs[5]        # FULL [n_chunks * 1024] i32, SMEM
+        pix_ref = refs[6]
+        state_ref = refs[7]       # PACKED [1, 16, rs, rl] f32
         if search_only:
-            outs = refs[40:42]    # f32 [1,5,rs,rl], i32 [1,2,rs,rl]
-            scratch_at = 42
+            outs = refs[8:10]     # f32 [1,5,rs,rl], i32 [1,2,rs,rl]
+            scratch_at = 10
         elif collect:
-            outs = refs[40:42]    # f32 [1,16,rs,rl], i32 [1,2,rs,rl]
-            scratch_at = 42
+            outs = refs[8:10]     # f32 [1,16,rs,rl], i32 [1,2,rs,rl]
+            scratch_at = 10
         else:
-            outs = refs[40:41]
-            scratch_at = 41
+            outs = refs[8:9]
+            scratch_at = 9
         hitlist = refs[scratch_at]
         tri_vmem = refs[scratch_at + 1]
         bnd_smem = refs[scratch_at + 2]
@@ -2372,10 +2378,20 @@ def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
                       meta_key, mint, style, is_last, interpret,
                       collect=False, search_only=False):
     meta = dict(meta_key)
+    assert not meta.get("has_tri"), "chunked path packs tris via chunk tables"
     grid, rs, rl = pix.shape
     kern = make_bigmesh_dma_kernel(meta, mint, style=style, is_last=is_last,
                                    collect=collect, search_only=search_only)
     bounds_packed, tri_lanes, counts = chunk_tables
+
+    # Family lane-tables: one operand per family (see the kernel's SMEM
+    # bookkeeping note).  tables[17:35] are the [rows,1,1] pack_fwd columns.
+    def fam_pack(cols):
+        return jnp.concatenate([v.reshape(-1, 1) for v in cols], axis=1)
+
+    sph_p = fam_pack(tables[17:22])
+    pln_p = fam_pack(tables[22:27])
+    mat_p = fam_pack(tables[27:35])
 
     def tab_spec(v):
         return pl.BlockSpec(v.shape, lambda t, wl_, cnt_: (0,) * v.ndim,
@@ -2389,7 +2405,7 @@ def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
                             memory_space=pltpu.VMEM)
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [tab_spec(v) for v in tables]
+                + [tab_spec(v) for v in (sph_p, pln_p, mat_p)]
                 + [pl.BlockSpec(memory_space=pltpu.HBM),   # bounds strides
                    pl.BlockSpec(memory_space=pltpu.HBM),   # triangle rows
                    pl.BlockSpec(memory_space=pltpu.SMEM)]  # counts, whole
@@ -2425,7 +2441,8 @@ def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=tuple(out_shapes), interpret=interpret,
-    )(wl, cnt, ctl, *tables, bounds_packed, tri_lanes, counts, pix, state_p)
+    )(wl, cnt, ctl, sph_p, pln_p, mat_p, bounds_packed, tri_lanes, counts,
+      pix, state_p)
     # Unpack to the pipeline call's flat output convention.
     if search_only:
         f, i = outs
@@ -2955,8 +2972,13 @@ class BigMeshTracer:
         culling).  Whole-film convergence still pays the remaining
         launches' floors; the per-tile live gate skips their folds."""
         n = pixel.shape[0]
-        o3 = tuple(_to_btiles(origin[:, k]) for k in range(3))
-        d3 = tuple(_to_btiles(direction[:, k]) for k in range(3))
+        # Fat (8,1024) tiles regardless of BIG_L: the march kernel keeps
+        # the (tiles, chunks) grid, whose per-step SMEM bookkeeping cost
+        # (see make_bigmesh_dma_kernel) scales with tiles x chunks — 8x
+        # the tiles would overflow SMEM, and the distance fold gains
+        # nothing from narrower tiles.
+        o3 = tuple(_to_tiles(origin[:, k]) for k in range(3))
+        d3 = tuple(_to_tiles(direction[:, k]) for k in range(3))
         t0 = jnp.float32(mint)
         px, py, pz = (o + t0 * d for o, d in zip(o3, d3))
         iters = jnp.full(px.shape, MARCH_ITER, jnp.int32)
