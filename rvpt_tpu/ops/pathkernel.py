@@ -2236,6 +2236,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
     (intersection.glsl:361-463)."""
     chunk_meta = dict(meta, n_clu=BIG_CHUNK_CLU, n_sup=BIG_CHUNK_SUP)
     bstride = 12 * BIG_BOUND_PAD
+    n_chunks = meta["n_chunks"]
 
     def kernel(wl_ref, cnt_ref, ctl_ref, *refs):
         # Mosaic/XLA reserve ~12 B of SMEM per (operand x grid step) for
@@ -2285,8 +2286,14 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
         active = act_f > 0.0
         n = cnt_ref[t]
 
+        def wl_at(j):
+            # wl arrives FLAT [tiles * n_chunks]: SMEM tiles 2-D arrays
+            # (2,128), padding a [tiles, n_chunks] list to 128 lanes/row —
+            # 1.02 MB of the 1 MB SMEM at 2040 tiles (measured OOM).
+            return wl_ref[t * n_chunks + j]
+
         def tri_dma(slot, j):
-            c = wl_ref[t, j]
+            c = wl_at(j)
             return pltpu.make_async_copy(
                 tri_rows_hbm.at[pl.ds(c * BIG_CHUNK_T, BIG_CHUNK_T), :],
                 tri_vmem.at[slot],
@@ -2294,7 +2301,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
             )
 
         def bnd_dma(j):
-            c = wl_ref[t, j]
+            c = wl_at(j)
             return pltpu.make_async_copy(
                 bounds_hbm.at[pl.ds(c * bstride, bstride)],
                 bnd_smem,
@@ -2316,7 +2323,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
 
         def loop(j, carry):
             slot = jax.lax.rem(j, 2)
-            c = wl_ref[t, j]
+            c = wl_at(j)
 
             @pl.when(j + 1 < n)
             def _():
@@ -2441,8 +2448,8 @@ def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=tuple(out_shapes), interpret=interpret,
-    )(wl, cnt, ctl, sph_p, pln_p, mat_p, bounds_packed, tri_lanes, counts,
-      pix, state_p)
+    )(wl.reshape(-1), cnt, ctl, sph_p, pln_p, mat_p, bounds_packed,
+      tri_lanes, counts, pix, state_p)
     # Unpack to the pipeline call's flat output convention.
     if search_only:
         f, i = outs
