@@ -2276,6 +2276,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
         bnd_smem = refs[scratch_at + 2]
         tsem = refs[scratch_at + 3]
         bsem = refs[scratch_at + 4]
+        res = refs[scratch_at + 5]   # SMEM (8,): resident ids + pending
 
         t = pl.program_id(0)
         frame = ctl_ref[0]
@@ -2292,26 +2293,67 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
             # 1.02 MB of the 1 MB SMEM at 2040 tiles (measured OOM).
             return wl_ref[t * n_chunks + j]
 
-        def tri_dma(slot, j):
-            c = wl_at(j)
+        # Resident-chunk DMA elision: scratch persists across grid steps,
+        # so a buffer already holding the wanted chunk (common — the
+        # post-sort tile order makes consecutive tiles list overlapping
+        # chunk sequences) skips its copy entirely.  res[0:2]=tri slot
+        # ids, res[2]=bounds id, res[3:5]/res[5]=in-flight flags (a wait
+        # must only run if the matching start did).
+        @pl.when(t == 0)
+        def _():
+            for k in range(3):
+                res[k] = -1
+            for k in range(3, 6):
+                res[k] = 0
+
+        def tri_desc(c, slot):
             return pltpu.make_async_copy(
                 tri_rows_hbm.at[pl.ds(c * BIG_CHUNK_T, BIG_CHUNK_T), :],
                 tri_vmem.at[slot],
                 tsem.at[slot],
             )
 
-        def bnd_dma(j):
-            c = wl_at(j)
+        def bnd_desc(c):
             return pltpu.make_async_copy(
                 bounds_hbm.at[pl.ds(c * bstride, bstride)],
                 bnd_smem,
                 bsem,
             )
 
+        def start_tri(slot, j):
+            c = wl_at(j)
+
+            @pl.when(res[slot] != c)
+            def _():
+                tri_desc(c, slot).start()
+                res[slot] = c
+                res[3 + slot] = 1
+
+        def wait_tri(slot, j):
+            @pl.when(res[3 + slot] == 1)
+            def _():
+                tri_desc(wl_at(j), slot).wait()
+                res[3 + slot] = 0
+
+        def start_bnd(j):
+            c = wl_at(j)
+
+            @pl.when(res[2] != c)
+            def _():
+                bnd_desc(c).start()
+                res[2] = c
+                res[5] = 1
+
+        def wait_bnd(j):
+            @pl.when(res[5] == 1)
+            def _():
+                bnd_desc(wl_at(j)).wait()
+                res[5] = 0
+
         @pl.when(n > 0)
         def _():
-            tri_dma(0, 0).start()
-            bnd_dma(0).start()
+            start_tri(0, 0)
+            start_bnd(0)
 
         # Seed: dense sphere/plane search overlaps the chunk-0 DMAs.
         carry0, _ = _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz,
@@ -2327,10 +2369,10 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
 
             @pl.when(j + 1 < n)
             def _():
-                tri_dma(1 - slot, j + 1).start()
+                start_tri(1 - slot, j + 1)
 
-            bnd_dma(j).wait()
-            tri_dma(slot, j).wait()
+            wait_bnd(j)
+            wait_tri(slot, j)
             carry, _ = _culled_tris_rows(
                 bounds_views, tri_vmem.at[slot], chunk_meta,
                 ox, oy, oz, dx, dy, dz, mint,
@@ -2344,7 +2386,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
             # chunk's bounds copy may start only after it finishes.
             @pl.when(j + 1 < n)
             def _():
-                bnd_dma(j + 1).start()
+                start_bnd(j + 1)
 
             return carry
 
@@ -2443,6 +2485,7 @@ def _bigmesh_dma_call(frame, salt, tables, chunk_tables, pix, state, wl, cnt,
             pltpu.SMEM((12 * BIG_BOUND_PAD,), jnp.float32),  # chunk bounds
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((8,), jnp.int32),   # resident ids + pending flags
         ],
     )
     outs = pl.pallas_call(
