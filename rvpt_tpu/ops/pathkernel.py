@@ -2149,15 +2149,18 @@ BIG_DMA_GRID = True   # route big-mesh launches through the (tiles,)-grid
                       # manual-DMA kernel (False: (tiles, chunks) pipeline)
 
 # Big-mesh ray-tile shape.  The fused small-scene kernels keep fat
-# (8, 1024) tiles (S, L above); the big-mesh path can run narrower
-# BLOCK-MAJOR tiles — (8, 128) packs 1024 CONSECUTIVE post-sort rays per
-# tile, shrinking each tile's cluster-union 2-4.4x on fan-out bounces
-# (benchmarks/bigmesh_block_probe.py blockM rows) at 8x the per-tile
-# listing control flow; affordable only under the (tiles,)-grid DMA
-# kernel's small per-tile floor.  A/B via benchmarks/bigmesh_scaling.py
-# --biglanes=N.
+# (8, 1024) tiles (S, L above); the big-mesh path runs narrower
+# BLOCK-MAJOR tiles — each tile holds BIG_S*BIG_L CONSECUTIVE post-sort
+# rays, shrinking the per-tile cluster union on fan-out bounces
+# (benchmarks/bigmesh_block_probe.py) at more per-tile listing control
+# flow; affordable only under the (tiles,)-grid DMA kernel's small
+# per-tile floor.  Measured ico5 1080p x8 same-session sweep
+# (BASELINE.md round 4): L=1024 412 ms, L=512 361 ms, L=256 412 ms,
+# L=128 519 ms — the scalar listing loop and per-visit costs overtake
+# the fold savings below 4096-ray tiles; 512 is the sweet spot.
+# A/B via benchmarks/bigmesh_scaling.py --biglanes=N.
 BIG_S = 8
-BIG_L = 1024
+BIG_L = 512
 
 # SMEM culled-path (<= CULL_MAX_TRIS) ray-tile shape — same block-major
 # lever as BIG_S/BIG_L, A/B'd independently because the whole-path fused
