@@ -1822,10 +1822,21 @@ BIG_CHUNK_SUP = BIG_CHUNK_CLU // CULL_G  # supergroups per chunk
 BIG_BOUND_PAD = 1024  # bound-table strides (XLA tiles 1D arrays at T(1024))
 
 
+# Routing threshold for BVH meshes: ABOVE this the chunked manual-DMA path
+# serves the scene (the SMEM culled whole-path kernel still has capacity to
+# CULL_MAX_TRIS, but the chunked path measured FASTER well below it:
+# ico3/1,282 tris 1080p x8 — culled fused 152.3 ms vs chunked 123.9 ms,
+# benchmarks/culled_vs_chunked.py; rows-fold walk + block-major tiles beat
+# the SMEM scalar fold).  Small meshes (rabbit-class) keep the fused
+# whole-path kernel, whose single launch wins when the walk is trivial.
+BIG_ROUTE_TRIS = 1024
+
+
 def is_bigmesh(scene: Scene) -> bool:
     """True when a scene routes through the chunked big-mesh path — the ONE
     capacity rule shared by the display, sharded, and gradient paths."""
-    return scene.bvh is not None and scene.num_triangles > CULL_MAX_TRIS
+    return (scene.bvh is not None
+            and scene.num_triangles > min(BIG_ROUTE_TRIS, CULL_MAX_TRIS))
 
 
 def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
