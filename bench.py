@@ -98,7 +98,7 @@ def main() -> None:
         f"{rays/dt_fwd/1e6:.1f} Mrays/s", file=sys.stderr,
     )
 
-    # --- supplementary: BVH mesh scene (config 4), fused culled kernel
+    # --- supplementary: BVH mesh scene (config 4), chunked DMA path
     mesh_scene, mesh_cam = builtin.mesh_demo(subdiv=3, aspect=cfg.aspect)
     mesh_settings = RenderSettings(max_bounces=8, aa=1)
     mesh_fwd = jax.jit(
@@ -106,8 +106,9 @@ def main() -> None:
     )
     dt_mesh = bench(mesh_fwd, jnp.uint32(1), iters=5)
     print(
-        f"mesh 1282 tris, 8 bounces (culled kernel): {dt_mesh*1e3:.2f} ms/frame"
-        f" -> {width*height*8/dt_mesh/1e6:.1f} Mrays/s", file=sys.stderr,
+        f"mesh 1282 tris, 8 bounces (chunked DMA path): {dt_mesh*1e3:.2f} "
+        f"ms/frame -> {width*height*8/dt_mesh/1e6:.1f} Mrays/s",
+        file=sys.stderr,
     )
 
     # --- supplementary: big mesh beyond SMEM capacity (chunked kernel)
