@@ -94,11 +94,14 @@ def test_bigmesh_primary_modes_match_xla(small_chunks, mode):
     assert close.mean() > 0.995, f"mode {mode}: {close.mean():.4f} match"
 
 
+@pytest.mark.parametrize("style", ["reference", "standard"])
 @pytest.mark.parametrize("mode", [7, 8])
-def test_bigmesh_whitted_cook_match_xla(small_chunks, mode):
+def test_bigmesh_whitted_cook_match_xla(small_chunks, mode, style):
     """Whitted (per-bounce shadow launch) and Cook (tail resolve launch)
     on a multi-chunk mesh with mirror/dielectric triangles
-    (integrators.glsl:254-543)."""
+    (integrators.glsl:254-543), in both termination styles — the
+    ``standard`` branch adds the carried throughput on still-active rays
+    in the driver-side tail (trace_shaded)."""
     from rvpt_tpu.ops import pathkernel as pk
 
     scene = _mixed_mesh_scene()
@@ -106,7 +109,7 @@ def test_bigmesh_whitted_cook_match_xla(small_chunks, mode):
     cam = builtin.sphere_plane(aspect=cfg.aspect)[1]
     pixel, ray = _rays(cfg, cam)
     frame = jnp.uint32(5)
-    st = RenderSettings(max_bounces=3)
+    st = RenderSettings(max_bounces=3, style=style)
 
     ref = np.asarray(eval_integrator(
         mode, scene, ray, pixel, frame, st, salt_base=jnp.uint32(16)))
@@ -114,7 +117,7 @@ def test_bigmesh_whitted_cook_match_xla(small_chunks, mode):
     r, g, b = bt.trace_shaded(
         pixel, ray.origin, ray.direction, frame,
         {7: "whitted", 8: "cook"}[mode], salt_base=16,
-        max_bounces=3, interpret=True,
+        max_bounces=3, style=style, interpret=True,
     )
     got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
     close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
