@@ -56,6 +56,151 @@ def _lookup(table, idx):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Grouped mesh-table lookup with an MXU segment-sum transpose
+# ---------------------------------------------------------------------------
+# The transpose of table[idx] is a scatter-add; XLA serializes it per update
+# on TPU — the mesh SoA backward measured 1.4-1.7 s per 1080p x 8 frame,
+# ~10x its forward, almost all in the nine per-bounce vertex scatters.  The
+# same reduction as a ONE-HOT MATMUL rides the MXU: for each 1024-ray block,
+# onehot[t_rows, 1024] @ g[1024, C] accumulates every component's cotangent
+# at once (the classic bincount-as-matmul trick); the one-hot never touches
+# HBM.  Gated to tables <= _SEG_MM_MAX rows (the MXU work is N*t_rows*C).
+
+_SEG_MM_MAX = 4096
+_SEG_BLK = 1024
+
+
+def _segsum_mm(idx, gs, t_rows):
+    """sum over rays of one-hot(idx) x gs -> f32[t_rows, C] via Pallas."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .intersect import on_tpu
+
+    n = idx.shape[0]
+    c = len(gs)
+    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    tpad = -(-t_rows // 8) * 8
+    g = jnp.stack(gs, axis=1)                       # [n, C]
+    if npad != n:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((npad - n,), idx.dtype)])
+        g = jnp.concatenate(
+            [g, jnp.zeros((npad - n, c), g.dtype)])  # zero rows: no effect
+    nblk = npad // _SEG_BLK
+    idx3 = idx.reshape(nblk, 1, _SEG_BLK)
+    g3 = g.reshape(nblk, _SEG_BLK, c)
+
+    def kernel(idx_ref, g_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros((tpad, c), jnp.float32)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tpad, _SEG_BLK), 0)
+        oh = (rows == idx_ref[0]).astype(jnp.float32)   # [tpad, BLK]
+        acc_ref[...] += jnp.dot(oh, g_ref[0],
+                                preferred_element_type=jnp.float32)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SEG_BLK, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tpad, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tpad, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tpad, c), jnp.float32)],
+        interpret=not on_tpu(),
+    )(idx3, g3)
+    return out[:t_rows]
+
+
+def _gather_mm(tables, idx):
+    """tuple(table[idx]) via an MXU one-hot matmul — the FORWARD twin of
+    _segsum_mm.  A gather fused into the bounce-scan fusion serializes per
+    ray (~18 ms per fusion at 1080p; 9 tables x 8 bounces ~= 1.3 s/frame
+    measured); out[C, BLK] = tablesT[C, T] @ onehot[T, BLK] is exact
+    (each column sums exactly one f32 entry) and runs in ~flops
+    N*T*C on the MXU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .intersect import on_tpu
+
+    n = idx.shape[0]
+    c = len(tables)
+    t_rows = tables[0].shape[0]
+    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    tpad = -(-t_rows // 8) * 8
+    tabT = jnp.stack([jnp.pad(t, (0, tpad - t_rows)) for t in tables])
+    if npad != n:
+        idx = jnp.concatenate([idx, jnp.zeros((npad - n,), idx.dtype)])
+    nblk = npad // _SEG_BLK
+    idx3 = idx.reshape(nblk, 1, _SEG_BLK)
+
+    def kernel(tab_ref, idx_ref, out_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tpad, _SEG_BLK), 0)
+        oh = (rows == idx_ref[0]).astype(jnp.float32)   # [tpad, BLK]
+        out_ref[...] = jnp.dot(tab_ref[...], oh,
+                               preferred_element_type=jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((c, tpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, _SEG_BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, npad), jnp.float32),
+        interpret=not on_tpu(),
+    )(tabT, idx3)
+    return tuple(out[k, :n] for k in range(c))
+
+
+@jax.custom_vjp
+def _lookup_group_mm(tables, idx):
+    return _gather_mm(tables, idx)
+
+
+def _lookup_group_mm_fwd(tables, idx):
+    return _lookup_group_mm(tables, idx), (idx, tables[0].shape[0])
+
+
+def _lookup_group_mm_bwd(res, gs):
+    idx, t_rows = res
+    grads = _segsum_mm(idx, tuple(gs), t_rows)
+    return tuple(grads[:, k] for k in range(len(gs))), None
+
+
+_lookup_group_mm.defvjp(_lookup_group_mm_fwd, _lookup_group_mm_bwd)
+
+
+def _lookup_group(tables, idx):
+    """Shared-index lookup across several same-length [T] tables; the
+    cotangent of all of them comes back from ONE MXU segment-sum
+    (_segsum_mm) instead of per-table scatter-adds.  idx must be
+    pre-clipped to [0, T)."""
+    t = tables[0].shape[0]
+    if t <= _LOOKUP_UNROLL or t > _SEG_MM_MAX:
+        return tuple(_lookup(tab, idx) for tab in tables)
+    return _lookup_group_mm(tuple(tables), idx)
+
+
 def kajiya_replay_soa(scene, origin, direction, pixel, frame, salt_base,
                       fams, idxs, style="reference", remat=False):
     """Radiance f32[N,3] from recorded hits, all-[N]-component internals.
@@ -108,9 +253,8 @@ def kajiya_replay_soa(scene, origin, direction, pixel, frame, salt_base,
         if has_tri:
             m = fam == 0
             safe = jnp.clip(idx, 0, scene.num_triangles - 1)
-            v0x, v0y, v0z = (_lookup(c, safe) for c in t_v0)
-            v1x, v1y, v1z = (_lookup(c, safe) for c in t_v1)
-            v2x, v2y, v2z = (_lookup(c, safe) for c in t_v2)
+            (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = _lookup_group(
+                tuple(t_v0) + tuple(t_v1) + tuple(t_v2), safe)
             e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
             e1x, e1y, e1z = v2x - v0x, v2y - v0y, v2z - v0z
             nx = e0y * e1z - e0z * e1y
