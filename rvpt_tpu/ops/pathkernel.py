@@ -1917,6 +1917,12 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     sup_pad = ((0, 0), (0, BIG_BOUND_PAD - BIG_CHUNK_SUP), (0, 0))
     sb0 = jnp.pad(sb0, sup_pad, constant_values=_BIG)
     sb1 = jnp.pad(sb1, sup_pad, constant_values=-_BIG)
+    # Per-chunk ROOT box in the (never slab-tested: all listing loops are
+    # clamped to the real counts) last slot of the supergroup strides, so
+    # the Hart kernel reads it instead of re-folding all BIG_CHUNK_SUP
+    # bounds at every (tile, chunk) grid step (ADVICE r3).
+    sb0 = sb0.at[:, -1].set(jnp.min(sb0[:, :BIG_CHUNK_SUP], axis=1))
+    sb1 = sb1.at[:, -1].set(jnp.max(sb1[:, :BIG_CHUNK_SUP], axis=1))
     clu_pad2 = ((0, 0), (0, BIG_BOUND_PAD - BIG_CHUNK_CLU), (0, 0))
     cb0c = jnp.pad(cb0c, clu_pad2, constant_values=_BIG)
     cb1c = jnp.pad(cb1c, clu_pad2, constant_values=-_BIG)
@@ -2691,20 +2697,11 @@ def make_bigmesh_hart_kernel(meta):
 
         @pl.when(jnp.any(live))
         def _fold():
-            n_sup = BIG_CHUNK_SUP
-
-            def fmin(tab):
-                return jax.lax.fori_loop(
-                    0, n_sup, lambda s2, m: jnp.minimum(m, tab[s2]),
-                    jnp.float32(_BIG))
-
-            def fmax(tab):
-                return jax.lax.fori_loop(
-                    0, n_sup, lambda s2, m: jnp.maximum(m, tab[s2]),
-                    jnp.float32(-_BIG))
-
-            root_d2 = box_d2(fmin(s0x), fmin(s0y), fmin(s0z),
-                             fmax(s1x), fmax(s1y), fmax(s1z))
+            # Chunk root box precomputed host-side into the last supergroup
+            # bound slot (pack_cull_chunked) — no per-grid-step refold.
+            root = BIG_BOUND_PAD - 1
+            root_d2 = box_d2(s0x[root], s0y[root], s0z[root],
+                             s1x[root], s1y[root], s1z[root])
             d2min = d2min_ref[0]
 
             def clu_body(cc, d2min):

@@ -75,6 +75,142 @@ def _lookup(table, idx):
 _SEG_MM_MAX = 4096
 _SEG_BLK = 1024
 
+# Tables above _SEG_MM_MAX rows use the T-BLOCKED variants below: the table
+# rides VMEM whole, and each 1024-ray block only visits the 1024-row table
+# blocks its own [min(idx), max(idx)] range touches (BVH leaf order is
+# spatially coherent, so consecutive pixels hit clustered triangle ids and
+# most blocks skip most of the table).  Beyond _SEG_MM_BIG_MAX rows the
+# table no longer fits the VMEM budget and the plain gather remains.
+_SEG_MM_BIG_MAX = 131072
+_TBLK = 1024
+
+
+def _block_bounds(idx3, nblk):
+    """Per-1024-ray-block [lo, hi] table-block range, SMEM-shaped."""
+    i2 = idx3.reshape(nblk, _SEG_BLK)
+    lo = (jnp.min(i2, axis=1) // _TBLK).astype(jnp.int32)
+    hi = (jnp.max(i2, axis=1) // _TBLK).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=1).reshape(nblk, 1, 2)
+
+
+def _gather_mm_big(tables, idx):
+    """tuple(table[idx]) for big tables: per-ray-block fori_loop over the
+    touched 1024-row table blocks, each an MXU one-hot matmul.  Work is
+    N * T_touched * C instead of the full N * T * C."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .intersect import on_tpu
+
+    n = idx.shape[0]
+    c = len(tables)
+    t_rows = tables[0].shape[0]
+    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    tpad = -(-t_rows // _TBLK) * _TBLK
+    tabT = jnp.stack([jnp.pad(t, (0, tpad - t_rows)) for t in tables])
+    if npad != n:
+        idx = jnp.concatenate([idx, jnp.zeros((npad - n,), idx.dtype)])
+    nblk = npad // _SEG_BLK
+    idx3 = idx.reshape(nblk, 1, _SEG_BLK)
+    bounds = _block_bounds(idx3, nblk)
+
+    def kernel(b_ref, tab_ref, idx_ref, out_ref):
+        idxv = idx_ref[0]                               # [1, BLK]
+
+        def body(j, acc):
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (_TBLK, _SEG_BLK), 0) + j * _TBLK
+            oh = (rows == idxv).astype(jnp.float32)     # [TBLK, BLK]
+            return acc + jnp.dot(tab_ref[:, pl.ds(j * _TBLK, _TBLK)], oh,
+                                 preferred_element_type=jnp.float32)
+
+        acc0 = jnp.zeros((c, _SEG_BLK), jnp.float32)
+        out_ref[...] = jax.lax.fori_loop(
+            b_ref[0, 0, 0], b_ref[0, 0, 1] + 1, body, acc0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((c, tpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, _SEG_BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, npad), jnp.float32),
+        interpret=not on_tpu(),
+    )(bounds, tabT, idx3)
+    return tuple(out[k, :n] for k in range(c))
+
+
+def _segsum_mm_big(idx, gs, t_rows):
+    """Big-table twin of _segsum_mm: the [c, tpad] accumulator stays
+    resident in the revisited output block; each ray block only touches
+    its own table-block range via dynamic-slice accumulation."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .intersect import on_tpu
+
+    n = idx.shape[0]
+    c = len(gs)
+    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    tpad = -(-t_rows // _TBLK) * _TBLK
+    g = jnp.stack(gs, axis=0)                           # [c, n]
+    if npad != n:
+        idx = jnp.concatenate([idx, jnp.zeros((npad - n,), idx.dtype)])
+        g = jnp.concatenate(
+            [g, jnp.zeros((c, npad - n), g.dtype)], axis=1)
+    nblk = npad // _SEG_BLK
+    idx3 = idx.reshape(nblk, 1, _SEG_BLK)
+    g3 = jnp.moveaxis(g.reshape(c, nblk, _SEG_BLK), 1, 0)  # [nblk, c, BLK]
+    bounds = _block_bounds(idx3, nblk)
+
+    def kernel(b_ref, idx_ref, g_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros((c, tpad), jnp.float32)
+
+        idxv = idx_ref[0]                               # [1, BLK]
+        gv = g_ref[0]                                   # [c, BLK]
+
+        def body(j, _):
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (_TBLK, _SEG_BLK), 0) + j * _TBLK
+            oh = (rows == idxv).astype(jnp.float32)     # [TBLK, BLK]
+            contrib = jax.lax.dot_general(      # gv @ oh.T without the
+                gv, oh, (((1,), (1,)), ((), ())),  # materialized transpose
+                preferred_element_type=jnp.float32)
+            sl = pl.ds(j * _TBLK, _TBLK)
+            out_ref[:, sl] = out_ref[:, sl] + contrib
+            return 0
+
+        jax.lax.fori_loop(b_ref[0, 0, 0], b_ref[0, 0, 1] + 1, body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, _SEG_BLK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, tpad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, tpad), jnp.float32),
+        interpret=not on_tpu(),
+    )(bounds, idx3, g3)
+    return out[:, :t_rows].T
+
 
 def _segsum_mm(idx, gs, t_rows):
     """sum over rays of one-hot(idx) x gs -> f32[t_rows, C] via Pallas."""
@@ -179,6 +315,8 @@ def _gather_mm(tables, idx):
 
 @jax.custom_vjp
 def _lookup_group_mm(tables, idx):
+    if tables[0].shape[0] > _SEG_MM_MAX:
+        return _gather_mm_big(tables, idx)
     return _gather_mm(tables, idx)
 
 
@@ -188,7 +326,8 @@ def _lookup_group_mm_fwd(tables, idx):
 
 def _lookup_group_mm_bwd(res, gs):
     idx, t_rows = res
-    grads = _segsum_mm(idx, tuple(gs), t_rows)
+    seg = _segsum_mm_big if t_rows > _SEG_MM_MAX else _segsum_mm
+    grads = seg(idx, tuple(gs), t_rows)
     return tuple(grads[:, k] for k in range(len(gs))), None
 
 
@@ -201,7 +340,7 @@ def _lookup_group(tables, idx):
     (_segsum_mm) instead of per-table scatter-adds.  idx must be
     pre-clipped to [0, T)."""
     t = tables[0].shape[0]
-    if t <= _LOOKUP_UNROLL or t > _SEG_MM_MAX:
+    if t <= _LOOKUP_UNROLL or t > _SEG_MM_BIG_MAX:
         return tuple(_lookup(tab, idx) for tab in tables)
     return _lookup_group_mm(tuple(tables), idx)
 
@@ -258,8 +397,16 @@ def kajiya_replay_soa(scene, origin, direction, pixel, frame, salt_base,
         if has_tri:
             m = fam == 0
             safe = jnp.clip(idx, 0, scene.num_triangles - 1)
-            (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = _lookup_group(
-                tuple(t_v0) + tuple(t_v1) + tuple(t_v2), safe)
+            tri_tabs = tuple(t_v0) + tuple(t_v1) + tuple(t_v2)
+            group_mat = (
+                _LOOKUP_UNROLL < scene.num_triangles <= _SEG_MM_BIG_MAX)
+            if group_mat:
+                # Ride tri_mat through the same one-hot matmul (exact for
+                # int values; the dangling f32 cotangent is zero) instead
+                # of a separate big-table gather.
+                tri_tabs = tri_tabs + (tri_mat.astype(jnp.float32),)
+            looked = _lookup_group(tri_tabs, safe)
+            (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = looked[:9]
             e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
             e1x, e1y, e1z = v2x - v0x, v2y - v0y, v2z - v0z
             nx = e0y * e1z - e0z * e1y
@@ -273,7 +420,10 @@ def kajiya_replay_soa(scene, origin, direction, pixel, frame, salt_base,
             wnx = jnp.where(m, nx, wnx)
             wny = jnp.where(m, ny, wny)
             wnz = jnp.where(m, nz, wnz)
-            mat_id = jnp.where(m, _lookup(tri_mat, safe), mat_id)
+            tri_mid = (
+                jax.lax.stop_gradient(looked[9]).astype(jnp.int32)
+                if group_mat else _lookup(tri_mat, safe))
+            mat_id = jnp.where(m, tri_mid, mat_id)
 
         if has_sph:
             m = fam == 1

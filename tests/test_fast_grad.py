@@ -301,3 +301,44 @@ def test_fast_grad_bigmesh_matches_autodiff(monkeypatch):
     assert np.allclose(g_fast, g_xla, rtol=2e-2, atol=1e-5), (
         f"max abs diff {np.abs(g_fast - g_xla).max()}"
     )
+
+
+def test_big_table_blocked_mm_lookup_and_segsum():
+    """The >4096-row T-blocked one-hot kernels (replay_soa._gather_mm_big /
+    _segsum_mm_big) match a plain gather / scatter-add exactly, including
+    through the _lookup_group custom VJP (the mesh-20k+ gradient path)."""
+    from rvpt_tpu.ops import replay_soa as rs
+
+    rng = np.random.default_rng(7)
+    t_rows, n, c = 4097 + 1500, 2048 + 300, 5  # off-block-boundary sizes
+    tables = tuple(
+        jnp.asarray(rng.standard_normal(t_rows), jnp.float32)
+        for _ in range(c)
+    )
+    idx = jnp.asarray(rng.integers(0, t_rows, n), jnp.int32)
+
+    out = rs._gather_mm_big(tables, idx)
+    for o, tab in zip(out, tables):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(tab[idx]))
+
+    gs = tuple(
+        jnp.asarray(rng.standard_normal(n), jnp.float32) for _ in range(c)
+    )
+    seg = np.asarray(rs._segsum_mm_big(idx, gs, t_rows))
+    ref = np.zeros((t_rows, c), np.float32)
+    for k in range(c):
+        np.add.at(ref[:, k], np.asarray(idx), np.asarray(gs[k]))
+    np.testing.assert_allclose(seg, ref, rtol=1e-5, atol=1e-5)
+
+    def loss(tabs):
+        return sum(jnp.sum(o ** 2) for o in rs._lookup_group(tabs, idx))
+
+    assert t_rows > rs._SEG_MM_MAX  # routes through the blocked kernels
+    g = jax.grad(loss)(tables)
+    g_ref = jax.grad(
+        lambda tabs: sum(jnp.sum(t[idx] ** 2) for t in tabs)
+    )(tables)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
