@@ -168,6 +168,36 @@ def main() -> None:
             print(f"{label}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
 
+    # --- supplementary: sharded TRAINING-step overhead (the psum'd-gradient
+    # path the north star scales, VERDICT r4 item 5): make_train_step fwd+bwd
+    # through shard_map over all visible devices vs the unsharded step, same
+    # session.  On the 1-chip TPU env this is pure shard_map machinery
+    # overhead; on a real slice it becomes scaling efficiency.
+    try:
+        from rvpt_tpu.parallel import mesh as mesh_mod
+        from rvpt_tpu.train.inverse import make_train_step
+
+        devices = jax.devices()
+        n_dev = len(devices)
+        tr_target = jnp.zeros((3, height, width), jnp.float32)
+        step_u, opt_u = make_train_step(
+            scene, camera, settings, cfg, None, tr_target)
+        tr_params = trainable_params(scene)
+        dt_u = bench(lambda f: step_u(tr_params, opt_u, f),
+                     jnp.uint32(1), iters=5)
+        mesh1 = mesh_mod.make_mesh(n_dev, 1, devices=devices)
+        step_s, opt_s = make_train_step(
+            scene, camera, settings, cfg, mesh1, tr_target)
+        dt_s = bench(lambda f: step_s(tr_params, opt_s, f),
+                     jnp.uint32(1), iters=5)
+        ovh = (dt_s * n_dev / dt_u - 1.0) * 100.0
+        print(f"train step (fwd+bwd+psum grads) sharded n={n_dev}: "
+              f"unsharded {dt_u*1e3:.2f} ms, sharded {dt_s*1e3:.2f} ms "
+              f"-> overhead {ovh:+.1f}%", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"sharded train step: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr)
+
     # --- supplementary: the reference's exact default frame — 1024x512,
     # rabbit.obj (143 tris, BVH), 8 bounces, 1 spp (main.cpp:96-107).
     try:

@@ -43,19 +43,19 @@ def main():
     bt = pk.BigMeshTracer(scene)
     print(f"tris={scene.num_triangles} n_chunks={bt.meta['n_chunks']}")
 
-    pixel_np, _ = _block_grid(cfg.width, cfg.height)
+    pixel_np, _ = _block_grid(cfg.width, cfg.height, *pk.bigmesh_block_dims())
     pixel = jnp.asarray(pixel_np)
     xs = pixel % jnp.uint32(cfg.width)
     ys = pixel // jnp.uint32(cfg.width)
     frame = jnp.uint32(0)
     ray = jittered_camera_rays(cam, cfg, pixel, xs, ys, frame, jnp.uint32(0))
 
-    pix = pk._to_tiles(pixel)
+    pix = pk._to_btiles(pixel)
     o, d = ray.origin, ray.direction
     ones = jnp.ones_like(pix, jnp.float32)
     zeros = jnp.zeros_like(pix, jnp.float32)
     state = tuple(
-        pk._to_tiles(v)
+        pk._to_btiles(v)
         for v in (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
     ) + (ones, ones, ones, zeros, zeros, zeros, zeros, zeros, zeros, ones)
     shape = pix.shape
@@ -63,7 +63,7 @@ def main():
     wl_fn = jax.jit(lambda st: pk._bigmesh_chunk_worklist(
         st, *bt.sup_boxes, 0.0))
 
-    kern_jit = jax.jit(lambda sa, px, st, wl, cnt: pk._bigmesh_call(
+    kern_jit = jax.jit(lambda sa, px, st, wl, cnt: pk._bigmesh_launch(
         frame, sa, bt.tables, bt.chunk_tables,
         px, st, wl, cnt, bt.meta_key, 0.0, "reference",
         False, False, False))
@@ -77,11 +77,16 @@ def main():
         ops = [key.reshape(-1), px.reshape(-1)]
         ops += [s.reshape(-1) for s in st]
         srt = jax.lax.sort(ops, num_keys=1)
-        px2 = srt[1].reshape(shape)
-        st2 = tuple(s.reshape(shape) for s in srt[2:])
+        px2 = pk._flat_to_btile(srt[1], shape)
+        st2 = tuple(pk._flat_to_btile(s, shape) for s in srt[2:])
         return st2, px2
 
+    def sort_key_only(st):
+        key = pk._bigmesh_sort_key(st, bt._box_lo, bt._box_inv)
+        return jax.lax.sort([key.reshape(-1)], num_keys=1)
+
     sort_j = jax.jit(sort_fn)
+    sort_k = jax.jit(sort_key_only)
 
     for b in range(nb):
         dt_wl = timeit(wl_fn, state)
@@ -95,7 +100,9 @@ def main():
                       jnp.zeros_like(cnt), iters=4)
         print(f"  no-walk floor    {dt_0*1e3:8.2f} ms", flush=True)
         dt_s = timeit(sort_j, state, pix, iters=4)
-        print(f"  sort             {dt_s*1e3:8.2f} ms", flush=True)
+        dt_sk = timeit(sort_k, state, iters=4)
+        print(f"  sort             {dt_s*1e3:8.2f} ms "
+              f"(key-only {dt_sk*1e3:.2f} ms)", flush=True)
         outs = kern_fn(b)(state, wl, cnt)
         state = outs[:16]
         state, pix = sort_j(state, pix)

@@ -120,6 +120,12 @@ def main():
             pk.BIG_L = int(a.split("=")[1])
             print(f"BIG_L={pk.BIG_L} (tile={pk.BIG_S * pk.BIG_L} rays, "
                   f"block={pk.bigmesh_block_dims()})")
+        # A/B lever: per-sub-block triangle fold (round 5) vs tile-wide.
+        if a.startswith("--subfold="):
+            from rvpt_tpu.ops import pathkernel as pk
+
+            pk.BIG_SUBFOLD = a.split("=")[1] not in ("0", "false")
+            print(f"BIG_SUBFOLD={pk.BIG_SUBFOLD}")
     cfg = FilmConfig(width=1920, height=1080)
     bounces = 8
     rays = cfg.num_pixels * bounces

@@ -471,7 +471,7 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
 
 def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
                       live, scratch, carry, tri_base=0,
-                      n_sup_dyn=None, n_clu_dyn=None):
+                      n_sup_dyn=None, n_clu_dyn=None, subs=1):
     """Cluster-culled closest-hit with a ROW-SLICED triangle fold.
 
     Same listing phase as _culled_tris (SMEM bounds, per-lane slab tests,
@@ -575,73 +575,139 @@ def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
         lambda: jnp.int32(0),
     )
 
-    oxb, oyb, ozb = ox[None], oy[None], oz[None]
-    dxb, dyb, dzb = dx[None], dy[None], dz[None]
     K = CULL_K
 
-    def fold_cluster(cc, carry):
-        t_best = carry[0]
-        base = cc * K
-        blk = tri_ref[pl.ds(base, K), :]        # [K, 128] triangle rows
+    # Per-sub-block ray views: the fold and its t_best re-prune run on
+    # [S, lanes/subs] lane slices (one native vreg at subs=BIG_L//BIG_SUB),
+    # each holding consecutive post-sort rays (_flat_to_btile layout), so a
+    # cluster only pays triangle math for the sub-blocks whose OWN rays can
+    # touch it — the listing above stays tile-wide.  Bit-identical to the
+    # tile-wide fold: a lane whose slab test passes always gets the fold
+    # (its sub-block's any includes it), and a skipped fold cannot change
+    # lanes whose slab fails (triangle-in-box conservativity) or whose
+    # entry t0 >= t_best (no closer hit possible).
+    if subs == 1:
+        subsl = [slice(None)]
+    else:
+        subw = ox.shape[-1] // subs
+        subsl = [slice(j * subw, (j + 1) * subw) for j in range(subs)]
 
-        def col(k):
-            return blk[:, k:k + 1][:, :, None]  # field lane -> [K, 1, 1]
+    def make_fold(rayc):
+        oxs, oys, ozs, dxs, dys, dzs = rayc
+        oxb, oyb, ozb = oxs[None], oys[None], ozs[None]
+        dxb, dyb, dzb = dxs[None], dys[None], dzs[None]
 
-        nx, ny, nz = col(0), col(1), col(2)
-        e0x, e0y, e0z = col(3), col(4), col(5)
-        e1x, e1y, e1z = col(6), col(7), col(8)
-        v0n, v0e0, v0e1 = col(9), col(10), col(11)
-        g00, g11, g01 = col(12), col(13), col(14)
-        inv_det, mat_i = col(15), col(16)
-        dn = nx * dxb + ny * dyb + nz * dzb
-        on = nx * oxb + ny * oyb + nz * ozb
-        de0 = e0x * dxb + e0y * dyb + e0z * dzb
-        de1 = e1x * dxb + e1y * dyb + e1z * dzb
-        oe0 = e0x * oxb + e0y * oyb + e0z * ozb
-        oe1 = e1x * oxb + e1y * oyb + e1z * ozb
-        dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
-        t = (v0n - on) / dn_safe
-        b0 = oe0 + t * de0 - v0e0
-        b1 = oe1 + t * de1 - v0e1
-        u = inv_det * (g11 * b0 - g01 * b1)
-        v = inv_det * (g00 * b1 - g01 * b0)
-        valid = ((mint < t) & (t < t_best[None]) & (u > 0.0)
-                 & (v > 0.0) & (u + v < 1.0))
-        tm = jnp.where(valid, t, _BIG)
+        def fold_cluster(cc, carry):
+            t_best = carry[0]
+            base = cc * K
+            blk = tri_ref[pl.ds(base, K), :]        # [K, 128] triangle rows
 
-        # min + first-row iota select (== ascending sequential updates).
-        t_best, wnx, wny, wnz, wmat, wfam, widx = carry
-        cmin = jnp.min(tm, axis=0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-        first = jnp.min(
-            jnp.where(tm == cmin[None], rows, jnp.int32(2**30)), axis=0)
-        oh = rows == first[None]
+            def col(k):
+                return blk[:, k:k + 1][:, :, None]  # field lane -> [K, 1, 1]
 
-        def sel(colv):
-            return jnp.sum(jnp.where(oh, colv, 0.0), axis=0)
+            nx, ny, nz = col(0), col(1), col(2)
+            e0x, e0y, e0z = col(3), col(4), col(5)
+            e1x, e1y, e1z = col(6), col(7), col(8)
+            v0n, v0e0, v0e1 = col(9), col(10), col(11)
+            g00, g11, g01 = col(12), col(13), col(14)
+            inv_det, mat_i = col(15), col(16)
+            dn = nx * dxb + ny * dyb + nz * dzb
+            on = nx * oxb + ny * oyb + nz * ozb
+            de0 = e0x * dxb + e0y * dyb + e0z * dzb
+            de1 = e1x * dxb + e1y * dyb + e1z * dzb
+            oe0 = e0x * oxb + e0y * oyb + e0z * ozb
+            oe1 = e1x * oxb + e1y * oyb + e1z * ozb
+            dn_safe = jnp.where(jnp.abs(dn) < _DENOM_EPS, _DENOM_EPS, dn)
+            t = (v0n - on) / dn_safe
+            b0 = oe0 + t * de0 - v0e0
+            b1 = oe1 + t * de1 - v0e1
+            u = inv_det * (g11 * b0 - g01 * b1)
+            v = inv_det * (g00 * b1 - g01 * b0)
+            valid = ((mint < t) & (t < t_best[None]) & (u > 0.0)
+                     & (v > 0.0) & (u + v < 1.0))
+            tm = jnp.where(valid, t, _BIG)
 
-        better = cmin < t_best
-        t_best = jnp.where(better, cmin, t_best)
-        wnx = jnp.where(better, sel(nx), wnx)
-        wny = jnp.where(better, sel(ny), wny)
-        wnz = jnp.where(better, sel(nz), wnz)
-        wmat = jnp.where(better, sel(mat_i), wmat)
-        wfam = jnp.where(better, 0, wfam)
-        widx = jnp.where(better, tri_base + base + first, widx)
-        return (t_best, wnx, wny, wnz, wmat, wfam, widx)
+            # min + first-row iota select (== ascending sequential updates).
+            t_best, wnx, wny, wnz, wmat, wfam, widx = carry
+            cmin = jnp.min(tm, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+            first = jnp.min(
+                jnp.where(tm == cmin[None], rows, jnp.int32(2**30)), axis=0)
+            oh = rows == first[None]
+
+            def sel(colv):
+                return jnp.sum(jnp.where(oh, colv, 0.0), axis=0)
+
+            better = cmin < t_best
+            t_best = jnp.where(better, cmin, t_best)
+            wnx = jnp.where(better, sel(nx), wnx)
+            wny = jnp.where(better, sel(ny), wny)
+            wnz = jnp.where(better, sel(nz), wnz)
+            wmat = jnp.where(better, sel(mat_i), wmat)
+            wfam = jnp.where(better, 0, wfam)
+            widx = jnp.where(better, tri_base + base + first, widx)
+            return (t_best, wnx, wny, wnz, wmat, wfam, widx)
+
+        return fold_cluster
+
+    def make_still(rayc, livec):
+        oxs, oys, ozs, dxs, dys, dzs = rayc
+        ivxs, ivys, ivzs = inv(dxs), inv(dys), inv(dzs)
+
+        def still(box, tmax):
+            x0, y0, z0, x1, y1, z1 = box
+            fx0 = (x0 - oxs) * ivxs
+            fx1 = (x1 - oxs) * ivxs
+            fy0 = (y0 - oys) * ivys
+            fy1 = (y1 - oys) * ivys
+            fz0 = (z0 - ozs) * ivzs
+            fz1 = (z1 - ozs) * ivzs
+            t0 = jnp.maximum(
+                jnp.maximum(jnp.minimum(fx0, fx1), jnp.minimum(fy0, fy1)),
+                jnp.maximum(jnp.minimum(fz0, fz1), mint),
+            )
+            t1 = jnp.minimum(
+                jnp.minimum(jnp.maximum(fx0, fx1), jnp.maximum(fy0, fy1)),
+                jnp.maximum(fz0, fz1),
+            )
+            return jnp.any((t1 >= t0) & livec & (t0 < tmax))
+
+        return still
+
+    folds, stills = [], []
+    for sl in subsl:
+        rayc = (ox[:, sl], oy[:, sl], oz[:, sl],
+                dx[:, sl], dy[:, sl], dz[:, sl])
+        folds.append(make_fold(rayc))
+        stills.append(make_still(rayc, cull_live[:, sl]))
+
+    carries = tuple(tuple(a[:, sl] for a in carry) for sl in subsl)
 
     def clu_work(k, state):
-        nstill, carry = state
+        nstill = state[0]
+        subc = state[1]
         c = hitlist_ref[k]
-        still = slab_any(c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c],
-                         tmax=carry[0])
-        carry = jax.lax.cond(
-            still, lambda cc2: fold_cluster(c, cc2), lambda cc2: cc2, carry)
-        return nstill + jnp.where(still, 1, 0), carry
+        box = (c0x[c], c0y[c], c0z[c], c1x[c], c1y[c], c1z[c])
+        out = []
+        any_still = jnp.int32(0)
+        for j in range(subs):
+            st = stills[j](box, subc[j][0])
+            c7 = jax.lax.cond(
+                st, lambda cc, _f=folds[j]: _f(c, cc),
+                lambda cc: cc, subc[j])
+            out.append(c7)
+            any_still = any_still | st.astype(jnp.int32)
+        return (nstill + any_still, tuple(out))
 
-    nstill, carry = jax.lax.fori_loop(
-        0, count, clu_work, (jnp.int32(0), carry)
+    nstill, carries = jax.lax.fori_loop(
+        0, count, clu_work, (jnp.int32(0), carries)
     )
+    if subs == 1:
+        carry = carries[0]
+    else:
+        carry = tuple(
+            jnp.concatenate([carries[j][i] for j in range(subs)], axis=1)
+            for i in range(7))
     return carry, (count, count, nstill)
 
 
@@ -1920,7 +1986,12 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     # Per-chunk ROOT box in the (never slab-tested: all listing loops are
     # clamped to the real counts) last slot of the supergroup strides, so
     # the Hart kernel reads it instead of re-folding all BIG_CHUNK_SUP
-    # bounds at every (tile, chunk) grid step (ADVICE r3).
+    # bounds at every (tile, chunk) grid step (ADVICE r3).  The slot must
+    # BE padding: if a BIG_CHUNK_T/CULL_K/CULL_G retune ever pushes
+    # BIG_CHUNK_SUP to BIG_BOUND_PAD, the write would silently clobber a
+    # real supergroup box (ADVICE r4).
+    assert BIG_CHUNK_SUP < BIG_BOUND_PAD, (
+        "chunk root-box slot BIG_BOUND_PAD-1 must be supergroup padding")
     sb0 = sb0.at[:, -1].set(jnp.min(sb0[:, :BIG_CHUNK_SUP], axis=1))
     sb1 = sb1.at[:, -1].set(jnp.max(sb1[:, :BIG_CHUNK_SUP], axis=1))
     clu_pad2 = ((0, 0), (0, BIG_BOUND_PAD - BIG_CHUNK_CLU), (0, 0))
@@ -2219,18 +2290,68 @@ def _to_ctiles(x, fill=0.0):
     return x.reshape(-1, CULL_S, CULL_L)
 
 
+# Sub-block width (lanes).  The walk's listing runs tile-wide, but the
+# triangle FOLD and its t_best re-prune run per [BIG_S, BIG_SUB] sub-block
+# (one native f32 vreg at 8x128), each holding BIG_S*BIG_SUB CONSECUTIVE
+# post-sort rays — the round-3 block probe's 2-4.4x fewer fold firings at
+# 1024-ray granularity, WITHOUT shrinking the tile (the round-4 BIG_L sweep
+# showed per-tile listing/DMA costs overtake fold savings below 4096-ray
+# tiles).  Requires the transposed tile layout below so a lane slice is a
+# consecutive ray range.
+#
+# MEASURED NEGATIVE at ico5 1080p x 8 (round 5, same-session A/B):
+# sub-block fold 440.7 ms vs tile-wide 355.9 ms (+24%), outputs
+# bit-identical (checksums equal).  The per-FIRE fixed cost (16-row table
+# load, 17 field extracts, loop control) exceeds the [8,512]-wide lane
+# math, so multiplying fires by ~1.6x (4 sub-blocks at ~0.4x pass rate
+# each) loses even though total lane-math shrinks 2.5x.  Same failure
+# family as round 3's masked folds — the walk is bound by per-cluster
+# FIXED cost, not per-lane triangle math.  Kept behind BIG_SUBFOLD for
+# re-evaluation if the fire cost ever shrinks (e.g. MXU-form dot folds).
+BIG_SUB = 128
+BIG_SUBFOLD = False  # True: per-sub-block fold (measured slower, above);
+                     # A/B via benchmarks/bigmesh_scaling.py --subfold=1
+
+
+def _flat_to_btile(x, shape):
+    """Rank-ordered flat (already padded) -> the big-mesh tile layout.
+
+    Position [t, s, j*BIG_SUB + l] holds rank t*S*L + j*S*BIG_SUB +
+    s*BIG_SUB + l: each [S, BIG_SUB] lane sub-block is a CONSECUTIVE
+    rank range (the sub-block fold's coherence contract)."""
+    g, s, l = shape
+    if BIG_SUB >= l:
+        return x.reshape(shape)
+    return (x.reshape(g, l // BIG_SUB, s, BIG_SUB)
+            .transpose(0, 2, 1, 3).reshape(shape))
+
+
+def _btile_to_flat(y):
+    """Inverse of _flat_to_btile: tile layout -> rank-ordered flat."""
+    g, s, l = y.shape
+    if BIG_SUB >= l:
+        return y.reshape(-1)
+    return (y.reshape(g, s, l // BIG_SUB, BIG_SUB)
+            .transpose(0, 2, 1, 3).reshape(-1))
+
+
 def _to_btiles(x, fill=0.0):
     """Flat [N] -> [grid, BIG_S, BIG_L] (padded): the big-mesh tile shape.
-    With BIG_L < L each tile holds consecutive rays of the caller's
-    (post-sort) order — the block-major layout — because reshape is
-    row-major; no transposes needed."""
+    Tiles hold consecutive rays of the caller's (post-sort) order — the
+    block-major layout — with lane sub-blocks consecutive too
+    (_flat_to_btile)."""
     x = jnp.asarray(x)
     n = x.shape[0]
     tile = BIG_S * BIG_L
     pad = (-n) % tile
     if pad:
         x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
-    return x.reshape(-1, BIG_S, BIG_L)
+    return _flat_to_btile(x, (x.shape[0] // tile, BIG_S, BIG_L))
+
+
+def _from_btiles(y, n):
+    """Inverse of _to_btiles: tile layout -> flat [n] in caller order."""
+    return _btile_to_flat(y)[:n]
 
 
 def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
@@ -2400,6 +2521,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
                 tri_base=c * BIG_CHUNK_T,
                 n_sup_dyn=cnts_ref[c * 1024],
                 n_clu_dyn=cnts_ref[c * 1024 + 1],
+                subs=(BIG_L // BIG_SUB) if BIG_SUBFOLD else 1,
             )
 
             # The walk reads bnd_smem throughout (single buffer): the next
@@ -2845,13 +2967,14 @@ class BigMeshTracer:
         total = pix.size
         # slot = position in the caller's ray order; rides the sorts so the
         # film (and per-bounce hit records) can be restored at the end.
-        slot = jnp.arange(total, dtype=jnp.int32).reshape(shape)
+        slot = _flat_to_btile(jnp.arange(total, dtype=jnp.int32), shape)
 
-        def by_slot(slot, vals):
+        def by_slot_flat(slot, vals):
+            """Restore caller order: sort by slot -> rank-ordered flat."""
             flat = jax.lax.sort(
                 [slot.reshape(-1)] + [v.reshape(-1) for v in vals],
                 num_keys=1)
-            return [v.reshape(shape) for v in flat[1:]]
+            return [v[:n] for v in flat[1:]]
 
         fams, idxs = [], []
         n_chunks = self.meta["n_chunks"]
@@ -2871,11 +2994,12 @@ class BigMeshTracer:
             state = outs[:16]
             if collect_hits:
                 if sorted_yet:
-                    fam_b, idx_b = by_slot(slot, (outs[16], outs[17]))
+                    fam_b, idx_b = by_slot_flat(slot, (outs[16], outs[17]))
                 else:
-                    fam_b, idx_b = outs[16], outs[17]
-                fams.append(_from_tiles(fam_b, n))
-                idxs.append(_from_tiles(idx_b, n))
+                    fam_b = _from_btiles(outs[16], n)
+                    idx_b = _from_btiles(outs[17], n)
+                fams.append(fam_b)
+                idxs.append(idx_b)
             # The variadic sort moves all 19 carries through the sorting
             # network — 20-30 ms at 1080p — so it runs only while it still
             # buys coherence: the first sort_bounces transitions (fan-out
@@ -2886,14 +3010,16 @@ class BigMeshTracer:
                 ops = [key.reshape(-1), pix.reshape(-1), slot.reshape(-1)]
                 ops += [s.reshape(-1) for s in state]
                 srt = jax.lax.sort(ops, num_keys=1)
-                pix = srt[1].reshape(shape)
-                slot = srt[2].reshape(shape)
-                state = tuple(s.reshape(shape) for s in srt[3:])
+                pix = _flat_to_btile(srt[1], shape)
+                slot = _flat_to_btile(srt[2], shape)
+                state = tuple(_flat_to_btile(s, shape) for s in srt[3:])
                 sorted_yet = True
         rr, rg, rb = state[12], state[13], state[14]
         if sorted_yet:
-            rr, rg, rb = by_slot(slot, (rr, rg, rb))
-        res = (_from_tiles(rr, n), _from_tiles(rg, n), _from_tiles(rb, n))
+            res = tuple(by_slot_flat(slot, (rr, rg, rb)))
+        else:
+            res = (_from_btiles(rr, n), _from_btiles(rg, n),
+                   _from_btiles(rb, n))
         if collect_hits:
             return res, (jnp.stack(fams), jnp.stack(idxs))
         return res
@@ -2953,7 +3079,7 @@ class BigMeshTracer:
         r, g, b = _primary_finalize(
             mode, nrays, self._mat_dict(), self.meta, pix, frame,
             jnp.asarray(salt_base, jnp.uint32), o3 + d3, winner, search)
-        return tuple(_from_tiles(v, n) for v in (r, g, b))
+        return tuple(_from_btiles(v, n) for v in (r, g, b))
 
     def trace_shaded(self, pixel, origin, direction, frame, integ, *,
                      salt_base, max_bounces, style="reference",
@@ -3022,7 +3148,7 @@ class BigMeshTracer:
             rr = jnp.where(active, rr + state[9], rr)
             rg = jnp.where(active, rg + state[10], rg)
             rb = jnp.where(active, rb + state[11], rb)
-        return tuple(_from_tiles(v, n) for v in (rr, rg, rb))
+        return tuple(_from_btiles(v, n) for v in (rr, rg, rb))
 
     def trace_hart(self, pixel, origin, direction, *, mint=0.0,
                    interpret=False):

@@ -109,7 +109,12 @@ def _gather_mm_big(tables, idx):
     tpad = -(-t_rows // _TBLK) * _TBLK
     tabT = jnp.stack([jnp.pad(t, (0, tpad - t_rows)) for t in tables])
     if npad != n:
-        idx = jnp.concatenate([idx, jnp.zeros((npad - n,), idx.dtype)])
+        # Pad with the last REAL index (not 0): zero-padding would drag the
+        # trailing block's [lo, hi] range down to table block 0, defeating
+        # its range skipping (ADVICE r4; correctness unaffected either way
+        # -- padded lanes are cropped on return).
+        idx = jnp.concatenate([idx, jnp.full((npad - n,), idx[-1],
+                                             idx.dtype)])
     nblk = npad // _SEG_BLK
     idx3 = idx.reshape(nblk, 1, _SEG_BLK)
     bounds = _block_bounds(idx3, nblk)
@@ -162,7 +167,10 @@ def _segsum_mm_big(idx, gs, t_rows):
     tpad = -(-t_rows // _TBLK) * _TBLK
     g = jnp.stack(gs, axis=0)                           # [c, n]
     if npad != n:
-        idx = jnp.concatenate([idx, jnp.zeros((npad - n,), idx.dtype)])
+        # Same trailing-block range-skipping fix as _gather_mm_big: padded
+        # lanes carry zero cotangent, so any in-range index is correct.
+        idx = jnp.concatenate([idx, jnp.full((npad - n,), idx[-1],
+                                             idx.dtype)])
         g = jnp.concatenate(
             [g, jnp.zeros((c, npad - n), g.dtype)], axis=1)
     nblk = npad // _SEG_BLK
@@ -313,8 +321,47 @@ def _gather_mm(tables, idx):
     return tuple(out[k, :n] for k in range(c))
 
 
+def _gather_mm_huge(tables, idx):
+    """Beyond _SEG_MM_BIG_MAX rows the whole table no longer fits the VMEM
+    budget of _gather_mm_big; split it into VMEM-sized row chunks and sum
+    the per-chunk lookups (out-of-chunk lanes masked to zero).  Clipped
+    out-of-chunk indices collapse each foreign ray block's [lo, hi] range
+    to one table block, so the extra passes cost ~one matmul per ray block
+    per chunk — the guardrail for 260k+-triangle meshes (VERDICT r4 item
+    7), replacing the former silent serialized-gather fallback."""
+    t_rows = tables[0].shape[0]
+    out = None
+    for base in range(0, t_rows, _SEG_MM_BIG_MAX):
+        hi = min(base + _SEG_MM_BIG_MAX, t_rows)
+        sub = tuple(t[base:hi] for t in tables)
+        in_chunk = (idx >= base) & (idx < hi)
+        idx_c = jnp.clip(idx - base, 0, hi - base - 1)
+        oc = _gather_mm_big(sub, idx_c)
+        oc = tuple(jnp.where(in_chunk, o, 0.0) for o in oc)
+        out = oc if out is None else tuple(
+            a + o for a, o in zip(out, oc))
+    return out
+
+
+def _segsum_mm_huge(idx, gs, t_rows):
+    """Chunked twin of _gather_mm_huge for the backward segment-sum:
+    per chunk, zero the cotangent of out-of-chunk lanes (their clipped
+    index then accumulates exactly zero) and concatenate the per-chunk
+    gradient rows."""
+    outs = []
+    for base in range(0, t_rows, _SEG_MM_BIG_MAX):
+        hi = min(base + _SEG_MM_BIG_MAX, t_rows)
+        in_chunk = (idx >= base) & (idx < hi)
+        idx_c = jnp.clip(idx - base, 0, hi - base - 1)
+        gz = tuple(jnp.where(in_chunk, g, 0.0) for g in gs)
+        outs.append(_segsum_mm_big(idx_c, gz, hi - base))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 @jax.custom_vjp
 def _lookup_group_mm(tables, idx):
+    if tables[0].shape[0] > _SEG_MM_BIG_MAX:
+        return _gather_mm_huge(tables, idx)
     if tables[0].shape[0] > _SEG_MM_MAX:
         return _gather_mm_big(tables, idx)
     return _gather_mm(tables, idx)
@@ -326,7 +373,12 @@ def _lookup_group_mm_fwd(tables, idx):
 
 def _lookup_group_mm_bwd(res, gs):
     idx, t_rows = res
-    seg = _segsum_mm_big if t_rows > _SEG_MM_MAX else _segsum_mm
+    if t_rows > _SEG_MM_BIG_MAX:
+        seg = _segsum_mm_huge
+    elif t_rows > _SEG_MM_MAX:
+        seg = _segsum_mm_big
+    else:
+        seg = _segsum_mm
     grads = seg(idx, tuple(gs), t_rows)
     return tuple(grads[:, k] for k in range(len(gs))), None
 
@@ -340,7 +392,7 @@ def _lookup_group(tables, idx):
     (_segsum_mm) instead of per-table scatter-adds.  idx must be
     pre-clipped to [0, T)."""
     t = tables[0].shape[0]
-    if t <= _LOOKUP_UNROLL or t > _SEG_MM_BIG_MAX:
+    if t <= _LOOKUP_UNROLL:
         return tuple(_lookup(tab, idx) for tab in tables)
     return _lookup_group_mm(tuple(tables), idx)
 

@@ -194,9 +194,33 @@ def _fast_eligible(scene, settings: RenderSettings) -> bool:
     return _megakernel_eligible(scene, settings)
 
 
+def accumulate_frames(render, cfg: FilmConfig, params, frame0, k):
+    """EMA-film accumulation of ``k`` sample frames as a differentiable
+    lax.scan: frames are sequential state updates of the film (SURVEY §7
+    "frames as a lax.scan with the EMA as differentiable state"), and the
+    gradient of a loss on the RESULT flows back through every one of the
+    k samples — the EMA update (ops/film.py, compute_pass.comp:146-166)
+    sits on the tangent path, not just the display path.
+
+    ``render(params, frame) -> f32[3,H,W]``; frames frame0..frame0+k-1
+    decorrelate the per-frame RNG streams.  A fresh film starts at
+    frame=0, which the accumulate op itself treats as the dirty reset."""
+    from ..ops import film as film_ops
+
+    film0 = film_ops.Film.create(cfg.height, cfg.width)
+
+    def body(film, i):
+        return film_ops.accumulate(film, render(params, frame0 + i),
+                                   False), None
+
+    film, _ = jax.lax.scan(
+        body, film0, jnp.arange(k, dtype=jnp.uint32))
+    return film.accum
+
+
 def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
                     mesh, target, learning_rate: float = 2e-2, fast="auto",
-                    groups=DEFAULT_GROUPS):
+                    groups=DEFAULT_GROUPS, accum_frames: int = 1):
     """Build (jitted step fn, initial optimizer state) for sharded training.
 
     ``target`` is channels-first f32[3,H,W] (the film layout).
@@ -211,6 +235,11 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
     settings fit it and the backend runs Pallas; True forces it (compiled),
     "interpret" forces it with interpreted kernels (CPU tests); False uses
     the XLA integrator path.
+
+    ``accum_frames`` > 1 targets the EMA-ACCUMULATED film after that many
+    frames (accumulate_frames): the loss sees the k-frame temporal mean and
+    its gradient flows through every accumulated sample — lower-variance
+    per-step gradients at k× the render cost per step.
     """
     opt = optax.adam(learning_rate)
     opt_state = opt.init(trainable_params(scene, groups, camera))
@@ -232,6 +261,13 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
             return render_sample_sharded(s, cam, settings, cfg, frame, mesh)
         return render_sample_chw(s, cam, settings, cfg, frame)
 
+    k = max(int(accum_frames), 1)
+    if k > 1:
+        def render_used(p, frame0):
+            return accumulate_frames(render, cfg, p, frame0, k)
+    else:
+        render_used = render
+
     @jax.jit
     def step(params, opt_state, frame):
         # Unbiased gradient of the squared error of the MEAN image via two
@@ -241,8 +277,12 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         # A single-sample value_and_grad instead optimizes E[(X-t)^2] =
         # (E[X]-t)^2 + Var[X], whose variance term pulls emission DOWN (dim
         # scenes are less noisy) — observed as divergence on the Cornell box.
-        img_a = jax.lax.stop_gradient(render(params, frame * 2 + 4096))
-        img_b, vjp_fn = jax.vjp(lambda p: render(p, frame * 2 + 4097), params)
+        # With accum_frames each buffer is the k-frame EMA film; the two
+        # streams stay disjoint (2k frame ids per optimizer step).
+        img_a = jax.lax.stop_gradient(
+            render_used(params, frame * (2 * k) + 4096))
+        img_b, vjp_fn = jax.vjp(
+            lambda p: render_used(p, frame * (2 * k) + 4096 + k), params)
         residual = 2.0 * (img_a - target) / img_a.size
         (grads,) = vjp_fn(residual)
         loss = jnp.mean(jnp.square(img_a - target))
@@ -256,13 +296,13 @@ def make_train_step(scene, camera, settings: RenderSettings, cfg: FilmConfig,
 
 def recover(scene_init, camera, settings, cfg, mesh, target, steps=100,
             learning_rate=2e-2, log_every=0, groups=DEFAULT_GROUPS,
-            fast="auto"):
+            fast="auto", accum_frames: int = 1):
     """Run the optimization loop; returns (final scene, loss history).
     With the camera group, the recovered pose is applied to the returned
     scene's camera via ``apply_camera`` — fetch it from the third element."""
     step, opt_state = make_train_step(
         scene_init, camera, settings, cfg, mesh, target, learning_rate,
-        fast=fast, groups=groups,
+        fast=fast, groups=groups, accum_frames=accum_frames,
     )
     params = trainable_params(scene_init, groups, camera)
     losses = []

@@ -342,3 +342,83 @@ def test_big_table_blocked_mm_lookup_and_segsum():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_big_table_blocked_mm_clustered_ranges():
+    """Clustered indices exercise the range-SKIPPING path of the blocked
+    kernels in CI: each 1024-ray block's ids sit in a narrow window at a
+    nonzero offset, so [lo, hi] covers a strict subset of table blocks
+    with lo > 0 (the uniform-index test above spans every block; ADVICE
+    r4).  Includes a partial trailing ray block so its idx[-1] padding
+    keeps the window tight."""
+    from rvpt_tpu.ops import replay_soa as rs
+
+    rng = np.random.default_rng(11)
+    t_rows, c = 9 * rs._TBLK + 77, 3
+    n = 3 * rs._SEG_BLK + 300                    # partial trailing block
+    tables = tuple(
+        jnp.asarray(rng.standard_normal(t_rows), jnp.float32)
+        for _ in range(c)
+    )
+    # Block k draws from table window [base_k, base_k + 512): lo > 0 for
+    # every block past the first, hi < nblk-1 for all but the last.
+    bases = [2 * rs._TBLK + 100, 5 * rs._TBLK, 8 * rs._TBLK + 400,
+             4 * rs._TBLK + 50]
+    idx = np.concatenate([
+        rng.integers(b, min(b + 512, t_rows), rs._SEG_BLK)
+        for b in bases
+    ])[:n]
+    idx = jnp.asarray(idx, jnp.int32)
+
+    out = rs._gather_mm_big(tables, idx)
+    for o, tab in zip(out, tables):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(tab[idx]))
+
+    gs = tuple(
+        jnp.asarray(rng.standard_normal(n), jnp.float32) for _ in range(c)
+    )
+    seg = np.asarray(rs._segsum_mm_big(idx, gs, t_rows))
+    ref = np.zeros((t_rows, c), np.float32)
+    for k in range(c):
+        np.add.at(ref[:, k], np.asarray(idx), np.asarray(gs[k]))
+    np.testing.assert_allclose(seg, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_huge_table_chunked_lookup_and_grad():
+    """Above _SEG_MM_BIG_MAX rows (the VMEM budget of the T-blocked
+    kernels) lookups split into table chunks (_gather_mm_huge /
+    _segsum_mm_huge) instead of silently reverting to the serialized
+    gather (VERDICT r4 item 7).  Exactness vs a plain gather/scatter-add,
+    chunk boundaries straddled."""
+    from rvpt_tpu.ops import replay_soa as rs
+
+    rng = np.random.default_rng(3)
+    big = rs._SEG_MM_BIG_MAX
+    t_rows, n, c = big + 2 * rs._TBLK + 123, 2 * rs._SEG_BLK + 77, 4
+    tables = tuple(
+        jnp.asarray(rng.standard_normal(t_rows), jnp.float32)
+        for _ in range(c)
+    )
+    # Indices on both sides of (and straddling) the chunk boundary.
+    idx = np.concatenate([
+        rng.integers(0, t_rows, n - 600),
+        rng.integers(big - 300, big + 300, 300),
+        rng.integers(t_rows - 200, t_rows, 300),
+    ])
+    idx = jnp.asarray(idx, jnp.int32)
+
+    out = rs._lookup_group(tables, idx)
+    for o, tab in zip(out, tables):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(tab[idx]))
+
+    def loss(tabs):
+        return sum(jnp.sum(o ** 2) for o in rs._lookup_group(tabs, idx))
+
+    g = jax.grad(loss)(tables)
+    g_ref = jax.grad(
+        lambda tabs: sum(jnp.sum(t[idx] ** 2) for t in tabs)
+    )(tables)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )

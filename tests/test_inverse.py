@@ -192,3 +192,69 @@ def test_fast_train_step_matches_single_device():
     p3, _, loss3 = step3(trainable_params(scene), opt3, jnp.uint32(0))
     assert np.isfinite(float(loss3))
     assert np.abs(np.asarray(p3["materials.albedo"])).sum() > 0
+
+
+def test_ema_film_gradient_matches_finite_differences():
+    """Gradients flow through the EMA-accumulated film: d(loss on the
+    4-frame accumulated image)/d(albedo) via autodiff of
+    inverse.accumulate_frames == central finite differences (VERDICT r4
+    item 6 — the differentiable-EMA claim, compute_pass.comp:146-166
+    semantics as a lax.scan over ops/film.accumulate)."""
+    import dataclasses
+
+    import jax
+
+    from rvpt_tpu.models.camera import Camera
+    from rvpt_tpu.scene import builtin
+
+    cfg = FilmConfig(width=16, height=12)
+    st = RenderSettings(max_bounces=2, style="standard")
+    scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+    k = 4
+
+    def render(p, frame):
+        mats = dataclasses.replace(scene.materials, albedo=p)
+        s = dataclasses.replace(scene, materials=mats)
+        return render_sample_chw(s, cam, st, cfg, frame)
+
+    def loss(p):
+        img = inverse.accumulate_frames(render, cfg, p, jnp.uint32(9), k)
+        return jnp.mean(jnp.square(img))
+
+    p0 = scene.materials.albedo
+    g = np.asarray(jax.grad(loss)(p0))
+    assert np.abs(g).max() > 0
+
+    # FD pin on the largest-|g| coordinates (same RNG streams per call, so
+    # the FD sees the same discrete decisions as the autodiff).
+    flat = np.argsort(-np.abs(g).ravel())[:3]
+    eps = 1e-3
+    for f in flat:
+        i, j = divmod(int(f), g.shape[1])
+        e = jnp.zeros_like(p0).at[i, j].set(eps)
+        fd = (float(loss(p0 + e)) - float(loss(p0 - e))) / (2 * eps)
+        assert abs(g[i, j] - fd) < max(0.05 * abs(fd), 1e-4), (
+            f"leaf ({i},{j}): grad {g[i, j]} vs fd {fd}")
+
+
+def test_train_step_accum_frames_converges():
+    """The accum_frames trainer flag: optimizing against a 3-frame EMA
+    target still recovers emission (the multi-frame gradient path is
+    wired end-to-end, not just the helper)."""
+    from rvpt_tpu.models.camera import Camera
+
+    cfg = FilmConfig(width=16, height=16)
+    st = RenderSettings(max_bounces=1, style="standard")
+    cam = Camera.create(aspect=1.0, fov=90.0)
+    true_em = (1.5, 0.8, 0.4)
+    scene_true = _emissive_scene(true_em)
+    target = render_sample_chw(scene_true, cam, st, cfg, 0)
+
+    scene_init = _emissive_scene((0.2, 0.2, 0.2))
+    rec, losses, _ = inverse.recover(
+        scene_init, cam, st, cfg, None, target, steps=60,
+        learning_rate=8e-2, accum_frames=3,
+    )
+    got = np.asarray(rec.materials.emission)[0]
+    assert np.allclose(got, true_em, atol=0.2), f"recovered {got}"
+    assert losses[-1] < losses[0]

@@ -124,3 +124,48 @@ def test_split_fast_path_reassembly(monkeypatch):
     want = (np.asarray(pixel, np.float32) + 1000.0 * want_mode).reshape(8, 16)
     assert np.array_equal(img[0], want)
     assert np.array_equal(img[1], want + 0.25)
+
+
+def test_primary_kernel_cached_across_bounce_settings(monkeypatch):
+    """Non-AO primary-mode kernels keep their static ``nrays`` arg pinned
+    to 1 across max_bounces settings (render.py), so toggling bounce count
+    never changes the traced primary program for debug views; AO's probe
+    loop legitimately follows max_bounces (its probe count IS the sample
+    count of integrator_AO's loop, integrators.glsl:152-200).  VERDICT r4
+    item 9: no bounce-dependent compile axis for non-AO primary modes.
+    """
+    from rvpt_tpu import FilmConfig, RenderSettings
+    from rvpt_tpu.ops import pathkernel as pk
+    from rvpt_tpu.render import render_sample_fast_chw
+    from rvpt_tpu.scene import builtin
+
+    from rvpt_tpu.ops import intersect as intersect_mod
+
+    cfg = FilmConfig(width=32, height=16)
+    scene, cam = builtin.cornell_box(aspect=cfg.aspect)
+    monkeypatch.setattr(intersect_mod, "_BACKEND", "pallas")
+
+    seen = []
+    orig = pk.PathTracer.trace_primary
+
+    def spy(self, pixel, frame, mode, **kw):
+        seen.append((mode, kw.get("nrays")))
+        return orig(self, pixel, frame, mode, **kw)
+
+    monkeypatch.setattr(pk.PathTracer, "trace_primary", spy)
+
+    def st(mode, nb):
+        return RenderSettings(
+            max_bounces=nb, top_left_render_mode=mode,
+            top_right_render_mode=mode, bottom_left_render_mode=mode,
+            bottom_right_render_mode=mode)
+
+    for nb in (2, 5, 8):
+        render_sample_fast_chw(scene, cam, st(3, nb), cfg, 0)  # normal view
+    assert {n for _, n in seen} == {1}, (
+        f"non-AO primary modes must pin nrays=1, saw {seen}")
+
+    seen.clear()
+    for nb in (2, 5):
+        render_sample_fast_chw(scene, cam, st(5, nb), cfg, 0)  # AO
+    assert [n for _, n in seen] == [2, 5]  # probe count == max_bounces
