@@ -59,17 +59,18 @@ def main() -> None:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
-    # Camera rays (fixed across iterations; generation is negligible).
-    pixel, xs, ys = _pixel_grid(cfg)
-    ju, jv = rng.uniform2(pixel, jnp.uint32(0), jnp.uint32(0))
-    cx = (xs.astype(jnp.float32) + ju) / cfg.width
-    cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
-    ray = camera_mod.generate_rays(camera, cx, cy)
-
     # --- headline: fwd+bwd via megakernel + replay-from-hits VJP
     trace = make_fast_kajiya(scene, 16, bounces, style="standard")
 
     def loss_fn(params, frame):
+        # Pixel grid + camera rays INSIDE the trace (iota arithmetic):
+        # closed-over 1080p id/ray arrays bake into the HLO as tens of MB
+        # of dense literals the tunnel's remote compiler chews on.
+        pixel, xs, ys = _pixel_grid(cfg)
+        ju, jv = rng.uniform2(pixel, jnp.uint32(0), jnp.uint32(0))
+        cx = (xs.astype(jnp.float32) + ju) / cfg.width
+        cy = 1.0 - (ys.astype(jnp.float32) + jv) / cfg.height
+        ray = camera_mod.generate_rays(camera, cx, cy)
         s = apply_params(scene, params)
         img = trace(s, ray.origin, ray.direction, pixel, frame)
         return jnp.mean(img)
@@ -130,11 +131,6 @@ def main() -> None:
     # is a radiance mean, so pixel order is irrelevant to the value.
     from rvpt_tpu.render import _block_grid
 
-    pixel_blk_np, _bm = _block_grid(cfg.width, cfg.height)
-    pixel_blk = jnp.asarray(pixel_blk_np)
-    bxs = pixel_blk % jnp.uint32(cfg.width)
-    bys = pixel_blk // jnp.uint32(cfg.width)
-
     for label, (g_scene, g_cam), g_bounces, g_iters in (
         ("mesh-1282 fwd+bwd (SoA replay)", (mesh_scene, mesh_cam), 8, 3),
         ("mesh-20482 fwd+bwd (chunked+SoA)", (big_scene, big_cam), 8, 2),
@@ -142,12 +138,18 @@ def main() -> None:
         try:
             g_trace = make_fast_kajiya(g_scene, 16, g_bounces,
                                        style="standard")
-            jb, _ = rng.uniform2(pixel_blk, jnp.uint32(0), jnp.uint32(0))
-            gcx = (bxs.astype(jnp.float32) + jb) / cfg.width
-            gcy = 1.0 - (bys.astype(jnp.float32) + jb) / cfg.height
-            g_ray = camera_mod.generate_rays(g_cam, gcx, gcy)
 
-            def g_loss(params, frame, _s=g_scene, _t=g_trace, _r=g_ray):
+            def g_loss(params, frame, _s=g_scene, _t=g_trace, _c=g_cam):
+                # Pixel grid + rays inside the trace (iota arithmetic) —
+                # see loss_fn above: closure arrays become HLO literals.
+                pixel_blk, _bm = _block_grid(cfg.width, cfg.height)
+                bxs = pixel_blk % jnp.uint32(cfg.width)
+                bys = pixel_blk // jnp.uint32(cfg.width)
+                jb, _ = rng.uniform2(pixel_blk, jnp.uint32(0),
+                                     jnp.uint32(0))
+                gcx = (bxs.astype(jnp.float32) + jb) / cfg.width
+                gcy = 1.0 - (bys.astype(jnp.float32) + jb) / cfg.height
+                _r = camera_mod.generate_rays(_c, gcx, gcy)
                 s = apply_params(_s, params)
                 img = _t(s, _r.origin, _r.direction, pixel_blk, frame)
                 return jnp.mean(img)

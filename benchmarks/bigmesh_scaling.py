@@ -29,14 +29,14 @@ def make_fn(scene, cam, cfg, bounces, sort, cull=True):
     from rvpt_tpu.render import _block_grid, jittered_camera_rays
     from rvpt_tpu.ops.pathkernel import BigMeshTracer, bigmesh_block_dims
 
-    pixel_np, _meta = _block_grid(cfg.width, cfg.height,
-                                  *bigmesh_block_dims())
-    pixel = jnp.asarray(pixel_np)
-    xs = pixel % jnp.uint32(cfg.width)
-    ys = pixel // jnp.uint32(cfg.width)
-
     @jax.jit
     def fn(frame):
+        # Grid + raygen INSIDE the trace: closed-over 1080p id arrays bake
+        # in as ~50 MB of HLO literals and multiply remote-compile time.
+        pixel, _meta = _block_grid(cfg.width, cfg.height,
+                                   *bigmesh_block_dims())
+        xs = pixel % jnp.uint32(cfg.width)
+        ys = pixel // jnp.uint32(cfg.width)
         bt = BigMeshTracer(scene)
         ray = jittered_camera_rays(cam, cfg, pixel, xs, ys, frame,
                                    jnp.uint32(0))

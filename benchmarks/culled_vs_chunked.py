@@ -67,15 +67,13 @@ def main():
     assert pk.is_bigmesh(scene)
     from rvpt_tpu.render import _block_grid, jittered_camera_rays
 
-    pixel_np, _ = _block_grid(cfg.width, cfg.height,
-                              *pk.bigmesh_block_dims())
-    pixel = jnp.asarray(pixel_np)
-    xs = pixel % jnp.uint32(cfg.width)
-    ys = pixel // jnp.uint32(cfg.width)
-
-    for sortb in (0, 1, 3):
+    for sortb in (0, 1, 2, 3):
         @jax.jit
         def fn(frame, _sortb=sortb):
+            pixel, _ = _block_grid(cfg.width, cfg.height,
+                                   *pk.bigmesh_block_dims())
+            xs = pixel % jnp.uint32(cfg.width)
+            ys = pixel // jnp.uint32(cfg.width)
             bt = pk.BigMeshTracer(scene)
             ray = jittered_camera_rays(cam, cfg, pixel, xs, ys, frame,
                                        jnp.uint32(0))

@@ -54,17 +54,24 @@ def main():
     scene, cam = builtin.mesh_demo(subdiv=subdiv, aspect=cfg.aspect)
     print(f"tris={scene.num_triangles} bounces={nb}")
 
-    pixel_np, _ = _block_grid(cfg.width, cfg.height, *bigmesh_block_dims())
-    pixel = jnp.asarray(pixel_np)
-    xs = pixel % jnp.uint32(cfg.width)
-    ys = pixel // jnp.uint32(cfg.width)
+    def make_rays(frame):
+        # Inside-trace grid + raygen: closure arrays become HLO literals.
+        pixel, _ = _block_grid(cfg.width, cfg.height,
+                               *bigmesh_block_dims())
+        xs = pixel % jnp.uint32(cfg.width)
+        ys = pixel // jnp.uint32(cfg.width)
+        ray = jittered_camera_rays(cam, cfg, pixel, xs, ys, frame,
+                                   jnp.uint32(0))
+        return pixel, ray
+
     frame = jnp.uint32(0)
-    ray = jittered_camera_rays(cam, cfg, pixel, xs, ys, frame, jnp.uint32(0))
+    pixel, ray = make_rays(frame)
     n = pixel.shape[0]
 
     # -- forward + collect
     @jax.jit
     def fwd_collect(frame):
+        pixel, ray = make_rays(frame)
         bt = BigMeshTracer(scene)
         (r, g, b), (fams, idxs) = bt.trace(
             pixel, ray.origin, ray.direction, frame, jnp.uint32(16), nb,
@@ -80,6 +87,7 @@ def main():
     # -- replay forward alone
     @jax.jit
     def replay_fwd(scene_in, fams, idxs):
+        pixel, ray = make_rays(frame)
         out = rs.kajiya_replay_soa(
             scene_in, ray.origin, ray.direction, pixel, frame,
             jnp.uint32(16), fams, idxs, "standard")
@@ -92,6 +100,8 @@ def main():
     # -- replay fwd+bwd
     @jax.jit
     def replay_grad(scene_in, fams, idxs):
+        pixel, ray = make_rays(frame)
+
         # full scene-leaf vjp (what fast_grad.bwd runs)
         def f(s):
             return rs.kajiya_replay_soa(
@@ -136,6 +146,7 @@ def main():
     trace = make_fast_kajiya(scene, 16, nb, style="standard")
 
     def loss(params, frame):
+        pixel, ray = make_rays(frame)
         s = apply_params(scene, params)
         return jnp.mean(trace(s, ray.origin, ray.direction, pixel, frame))
 

@@ -2491,73 +2491,100 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
                 bnd_desc(wl_at(j)).wait()
                 res[5] = 0
 
-        @pl.when(n > 0)
-        def _():
-            start_tri(0, 0)
-            start_bnd(0)
+        # Whole-tile early exit (round 5): once the wavefront sorts pack
+        # dead rays to the tail, most tiles of late bounces have NO live
+        # lane — yet the un-gated body still paid the seed search + shade
+        # (~8 ms/bounce no-walk floor at ico5, 64 ms/frame measured).  A
+        # tile with every lane dead is EXACTLY a passthrough: _shade with
+        # active all-false changes nothing (every update is
+        # where(active,...)) and collect emits -1s.  search_only keeps the
+        # un-gated body — its per-lane winner outputs are real values even
+        # for dead lanes, which the pipeline-kernel parity pins.
+        tile_live = jnp.any(active) if not search_only else None
 
-        # Seed: dense sphere/plane search overlaps the chunk-0 DMAs.
-        carry0, _ = _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz,
-                            mint)
-
-        bounds_views = tuple(
-            _OffsetView(bnd_smem, j * BIG_BOUND_PAD) for j in range(12)
-        )
-
-        def loop(j, carry):
-            slot = jax.lax.rem(j, 2)
-            c = wl_at(j)
-
-            @pl.when(j + 1 < n)
+        def body():
+            @pl.when(n > 0)
             def _():
-                start_tri(1 - slot, j + 1)
+                start_tri(0, 0)
+                start_bnd(0)
 
-            wait_bnd(j)
-            wait_tri(slot, j)
-            carry, _ = _culled_tris_rows(
-                bounds_views, tri_vmem.at[slot], chunk_meta,
-                ox, oy, oz, dx, dy, dz, mint,
-                active, (hitlist,), carry,
-                tri_base=c * BIG_CHUNK_T,
-                n_sup_dyn=cnts_ref[c * 1024],
-                n_clu_dyn=cnts_ref[c * 1024 + 1],
-                subs=(BIG_L // BIG_SUB) if BIG_SUBFOLD else 1,
+            # Seed: dense sphere/plane search overlaps the chunk-0 DMAs.
+            carry0, _ = _search(tri, sph, pln, meta, ox, oy, oz, dx, dy, dz,
+                                mint)
+
+            bounds_views = tuple(
+                _OffsetView(bnd_smem, j * BIG_BOUND_PAD) for j in range(12)
             )
 
-            # The walk reads bnd_smem throughout (single buffer): the next
-            # chunk's bounds copy may start only after it finishes.
-            @pl.when(j + 1 < n)
-            def _():
-                start_bnd(j + 1)
+            def loop(j, carry):
+                slot = jax.lax.rem(j, 2)
+                c = wl_at(j)
 
-            return carry
+                @pl.when(j + 1 < n)
+                def _():
+                    start_tri(1 - slot, j + 1)
 
-        carry = jax.lax.fori_loop(0, n, loop, carry0)
+                wait_bnd(j)
+                wait_tri(slot, j)
+                carry, _ = _culled_tris_rows(
+                    bounds_views, tri_vmem.at[slot], chunk_meta,
+                    ox, oy, oz, dx, dy, dz, mint,
+                    active, (hitlist,), carry,
+                    tri_base=c * BIG_CHUNK_T,
+                    n_sup_dyn=cnts_ref[c * 1024],
+                    n_clu_dyn=cnts_ref[c * 1024 + 1],
+                    subs=(BIG_L // BIG_SUB) if BIG_SUBFOLD else 1,
+                )
+
+                # The walk reads bnd_smem throughout (single buffer): the
+                # next chunk's bounds copy may start only after it
+                # finishes.
+                @pl.when(j + 1 < n)
+                def _():
+                    start_bnd(j + 1)
+
+                return carry
+
+            carry = jax.lax.fori_loop(0, n, loop, carry0)
+
+            if search_only:
+                for i in range(5):
+                    outs[0][0, i] = carry[i]
+                outs[1][0, 0] = carry[5]
+                outs[1][0, 1] = carry[6]
+                return
+            state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+                     rr, rg, rb, active)
+            if collect:
+                hitmask = active & (carry[5] >= 0)
+                outs[1][0, 0] = jnp.where(hitmask, carry[5], -1)
+                outs[1][0, 1] = jnp.where(hitmask, carry[6], -1)
+            new = _shade(mat, meta, pix, frame, salt, state, carry)
+            (ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, cr2, cg2, cb2,
+             rr2, rg2, rb2, active2) = new
+            if is_last and style == "standard":
+                rr2 = jnp.where(active2, rr2 + cr2, rr2)
+                rg2 = jnp.where(active2, rg2 + cg2, rg2)
+                rb2 = jnp.where(active2, rb2 + cb2, rb2)
+            for i, val in enumerate((
+                ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
+                cr2, cg2, cb2, rr2, rg2, rb2, active2.astype(jnp.float32),
+            )):
+                outs[0][0, i] = val
 
         if search_only:
-            for i in range(5):
-                outs[0][0, i] = carry[i]
-            outs[1][0, 0] = carry[5]
-            outs[1][0, 1] = carry[6]
+            body()
             return
-        state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
-                 rr, rg, rb, active)
-        if collect:
-            hitmask = active & (carry[5] >= 0)
-            outs[1][0, 0] = jnp.where(hitmask, carry[5], -1)
-            outs[1][0, 1] = jnp.where(hitmask, carry[6], -1)
-        new = _shade(mat, meta, pix, frame, salt, state, carry)
-        (ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, cr2, cg2, cb2,
-         rr2, rg2, rb2, active2) = new
-        if is_last and style == "standard":
-            rr2 = jnp.where(active2, rr2 + cr2, rr2)
-            rg2 = jnp.where(active2, rg2 + cg2, rg2)
-            rb2 = jnp.where(active2, rb2 + cb2, rb2)
-        for i, val in enumerate((
-            ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2,
-            cr2, cg2, cb2, rr2, rg2, rb2, active2.astype(jnp.float32),
-        )):
-            outs[0][0, i] = val
+
+        @pl.when(tile_live)
+        def _():
+            body()
+
+        @pl.when(~tile_live)
+        def _():
+            outs[0][...] = state_ref[...]
+            if collect:
+                outs[1][...] = jnp.full(outs[1].shape, -1, jnp.int32)
 
     return kernel
 
@@ -2978,44 +3005,80 @@ class BigMeshTracer:
 
         fams, idxs = [], []
         n_chunks = self.meta["n_chunks"]
-        sorted_yet = False
-        for b in range(nb):
+        salt0 = jnp.asarray(salt_base, jnp.uint32)
+        # Wavefront re-sorts run after the first sort_bounces transitions
+        # (fan-out packing + dead-ray compaction); later bounces inherit
+        # the order (rays never revive, so idle tiles stay idle).  The
+        # sort costs 20-30 ms at 1080p (19 carries through the network).
+        n_sorted = min(sort_bounces, nb - 1) if sort_rays else 0
+
+        # The WHOLE bounce loop is one lax.scan: the bounce body (work
+        # list + launch + conditional sort) traces and compiles ONCE.
+        # Bounce-unrolled launches were the compile-time driver (VERDICT
+        # r4 item 3): each unrolled Pallas launch is a separate ~90 s
+        # Mosaic compile on the tunnel — measured 276 s at sortb=3
+        # unrolled vs 14 s for the all-scanned sortb=0 loop.  is_last is
+        # always False — the standard-style tail runs in XLA after the
+        # loop (identical math: every kernel-side update was masked by
+        # the same ``active``).
+        def body(carry, b_tr):
+            state, pix_c, slot_c = carry
             if tile_cull:
                 wl, cnt = _bigmesh_chunk_worklist(
                     state, *self.sup_boxes, self.mint)
             else:
-                wl, cnt = _bigmesh_full_worklist(pix.shape[0], n_chunks)
+                wl, cnt = _bigmesh_full_worklist(pix_c.shape[0], n_chunks)
             outs = _bigmesh_launch(
-                frame, jnp.asarray(salt_base, jnp.uint32) + jnp.uint32(b * 4),
-                self.tables, self.chunk_tables, pix, state, wl, cnt,
+                frame, salt0 + jnp.asarray(b_tr, jnp.uint32) * 4,
+                self.tables, self.chunk_tables, pix_c, state, wl, cnt,
                 self.meta_key, self.mint, style,
-                b == nb - 1, interpret, collect_hits,
+                False, interpret, collect_hits,
             )
             state = outs[:16]
-            if collect_hits:
-                if sorted_yet:
-                    fam_b, idx_b = by_slot_flat(slot, (outs[16], outs[17]))
+            # Hit records + the slot map at emission time (each bounce's
+            # records are in that bounce's CURRENT ray order).
+            rec = ((outs[16], outs[17], slot_c) if collect_hits else None)
+
+            if n_sorted > 0:
+                def do_sort(args):
+                    state, pix_c, slot_c = args
+                    key = _bigmesh_sort_key(
+                        state, self._box_lo, self._box_inv)
+                    ops = [key.reshape(-1), pix_c.reshape(-1),
+                           slot_c.reshape(-1)]
+                    ops += [s.reshape(-1) for s in state]
+                    srt = jax.lax.sort(ops, num_keys=1)
+                    return (
+                        tuple(_flat_to_btile(s, shape) for s in srt[3:]),
+                        _flat_to_btile(srt[1], shape),
+                        _flat_to_btile(srt[2], shape),
+                    )
+
+                state, pix_c, slot_c = jax.lax.cond(
+                    b_tr < jnp.uint32(n_sorted), do_sort, lambda a: a,
+                    (state, pix_c, slot_c))
+            return (state, pix_c, slot_c), rec
+
+        bs = jnp.arange(nb, dtype=jnp.uint32)
+        (state, pix, slot), recs = jax.lax.scan(body, (state, pix, slot),
+                                                bs)
+        if collect_hits:
+            for j in range(nb):
+                if n_sorted > 0:
+                    fam_b, idx_b = by_slot_flat(
+                        recs[2][j], (recs[0][j], recs[1][j]))
                 else:
-                    fam_b = _from_btiles(outs[16], n)
-                    idx_b = _from_btiles(outs[17], n)
+                    fam_b = _from_btiles(recs[0][j], n)
+                    idx_b = _from_btiles(recs[1][j], n)
                 fams.append(fam_b)
                 idxs.append(idx_b)
-            # The variadic sort moves all 19 carries through the sorting
-            # network — 20-30 ms at 1080p — so it runs only while it still
-            # buys coherence: the first sort_bounces transitions (fan-out
-            # packing + dead-ray compaction); later bounces inherit the
-            # order (rays never revive, so idle tiles stay idle).
-            if sort_rays and b < nb - 1 and b < sort_bounces:
-                key = _bigmesh_sort_key(state, self._box_lo, self._box_inv)
-                ops = [key.reshape(-1), pix.reshape(-1), slot.reshape(-1)]
-                ops += [s.reshape(-1) for s in state]
-                srt = jax.lax.sort(ops, num_keys=1)
-                pix = _flat_to_btile(srt[1], shape)
-                slot = _flat_to_btile(srt[2], shape)
-                state = tuple(_flat_to_btile(s, shape) for s in srt[3:])
-                sorted_yet = True
         rr, rg, rb = state[12], state[13], state[14]
-        if sorted_yet:
+        if style == "standard":
+            act = state[15] > 0.0
+            rr = jnp.where(act, rr + state[9], rr)
+            rg = jnp.where(act, rg + state[10], rg)
+            rb = jnp.where(act, rb + state[11], rb)
+        if n_sorted > 0:
             res = tuple(by_slot_flat(slot, (rr, rg, rb)))
         else:
             res = (_from_btiles(rr, n), _from_btiles(rg, n),

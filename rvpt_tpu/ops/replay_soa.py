@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from ..core.math import INV_PI, PI, TWO_PI
 
 _EPSILON = 5e-3
@@ -74,6 +76,13 @@ def _lookup(table, idx):
 
 _SEG_MM_MAX = 4096
 _SEG_BLK = 1024
+# Ray blocks per lookup/segsum grid step.  MEASURED on-chip (round 5,
+# benchmarks/segsum_probe.py): batching 8 blocks per step does NOT speed
+# the standalone kernels (segsum 12.65 -> 11.48 ms at 1282 rows) and left
+# the full mesh fwd+bwd unchanged (222.9 -> 216.7 ms) — the cost is the
+# one-hot materialization ([tpad, 1024] f32 per block), not per-step
+# machinery.  Kept as a sweep lever; 1 = the proven default.
+_SEG_R = 1
 
 # Tables above _SEG_MM_MAX rows use the T-BLOCKED variants below: the table
 # rides VMEM whole, and each 1024-ray block only visits the 1024-row table
@@ -105,7 +114,8 @@ def _gather_mm_big(tables, idx):
     n = idx.shape[0]
     c = len(tables)
     t_rows = tables[0].shape[0]
-    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    step = _SEG_BLK * _SEG_R
+    npad = -(-n // step) * step
     tpad = -(-t_rows // _TBLK) * _TBLK
     tabT = jnp.stack([jnp.pad(t, (0, tpad - t_rows)) for t in tables])
     if npad != n:
@@ -117,34 +127,39 @@ def _gather_mm_big(tables, idx):
                                              idx.dtype)])
     nblk = npad // _SEG_BLK
     idx3 = idx.reshape(nblk, 1, _SEG_BLK)
-    bounds = _block_bounds(idx3, nblk)
+    bounds = _block_bounds(idx3, nblk).reshape(nblk // _SEG_R, _SEG_R, 2)
+    idx3 = idx3.reshape(nblk // _SEG_R, _SEG_R, _SEG_BLK)
 
     def kernel(b_ref, tab_ref, idx_ref, out_ref):
-        idxv = idx_ref[0]                               # [1, BLK]
+        # _SEG_R ray blocks per step, each with its OWN [lo, hi] range so
+        # the per-block skipping is as tight as the 1-block grid.
+        for r in range(_SEG_R):
+            idxv = idx_ref[0, r:r + 1]                  # [1, BLK]
 
-        def body(j, acc):
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, (_TBLK, _SEG_BLK), 0) + j * _TBLK
-            oh = (rows == idxv).astype(jnp.float32)     # [TBLK, BLK]
-            return acc + jnp.dot(tab_ref[:, pl.ds(j * _TBLK, _TBLK)], oh,
-                                 preferred_element_type=jnp.float32)
+            def body(j, acc):
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (_TBLK, _SEG_BLK), 0) + j * _TBLK
+                oh = (rows == idxv).astype(jnp.float32)  # [TBLK, BLK]
+                return acc + jnp.dot(
+                    tab_ref[:, pl.ds(j * _TBLK, _TBLK)], oh,
+                    preferred_element_type=jnp.float32)
 
-        acc0 = jnp.zeros((c, _SEG_BLK), jnp.float32)
-        out_ref[...] = jax.lax.fori_loop(
-            b_ref[0, 0, 0], b_ref[0, 0, 1] + 1, body, acc0)
+            acc0 = jnp.zeros((c, _SEG_BLK), jnp.float32)
+            out_ref[:, r * _SEG_BLK:(r + 1) * _SEG_BLK] = jax.lax.fori_loop(
+                b_ref[0, r, 0], b_ref[0, r, 1] + 1, body, acc0)
 
     out = pl.pallas_call(
         kernel,
-        grid=(nblk,),
+        grid=(nblk // _SEG_R,),
         in_specs=[
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((c, tpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, _SEG_BLK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, _SEG_BLK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((c, step), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, npad), jnp.float32),
         interpret=not on_tpu(),
@@ -163,7 +178,8 @@ def _segsum_mm_big(idx, gs, t_rows):
 
     n = idx.shape[0]
     c = len(gs)
-    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    step = _SEG_BLK * _SEG_R
+    npad = -(-n // step) * step
     tpad = -(-t_rows // _TBLK) * _TBLK
     g = jnp.stack(gs, axis=0)                           # [c, n]
     if npad != n:
@@ -176,7 +192,9 @@ def _segsum_mm_big(idx, gs, t_rows):
     nblk = npad // _SEG_BLK
     idx3 = idx.reshape(nblk, 1, _SEG_BLK)
     g3 = jnp.moveaxis(g.reshape(c, nblk, _SEG_BLK), 1, 0)  # [nblk, c, BLK]
-    bounds = _block_bounds(idx3, nblk)
+    bounds = _block_bounds(idx3, nblk).reshape(nblk // _SEG_R, _SEG_R, 2)
+    idx3 = idx3.reshape(nblk // _SEG_R, _SEG_R, _SEG_BLK)
+    g3 = g3.reshape(nblk // _SEG_R, _SEG_R, c, _SEG_BLK)
 
     def kernel(b_ref, idx_ref, g_ref, out_ref):
         i = pl.program_id(0)
@@ -185,31 +203,34 @@ def _segsum_mm_big(idx, gs, t_rows):
         def _():
             out_ref[...] = jnp.zeros((c, tpad), jnp.float32)
 
-        idxv = idx_ref[0]                               # [1, BLK]
-        gv = g_ref[0]                                   # [c, BLK]
+        # _SEG_R ray blocks per step (per-block ranges preserved) — same
+        # fixed-cost amortization as _segsum_mm.
+        for r in range(_SEG_R):
+            idxv = idx_ref[0, r:r + 1]                  # [1, BLK]
+            gv = g_ref[0, r]                            # [c, BLK]
 
-        def body(j, _):
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, (_TBLK, _SEG_BLK), 0) + j * _TBLK
-            oh = (rows == idxv).astype(jnp.float32)     # [TBLK, BLK]
-            contrib = jax.lax.dot_general(      # gv @ oh.T without the
-                gv, oh, (((1,), (1,)), ((), ())),  # materialized transpose
-                preferred_element_type=jnp.float32)
-            sl = pl.ds(j * _TBLK, _TBLK)
-            out_ref[:, sl] = out_ref[:, sl] + contrib
-            return 0
+            def body(j, _):
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (_TBLK, _SEG_BLK), 0) + j * _TBLK
+                oh = (rows == idxv).astype(jnp.float32)  # [TBLK, BLK]
+                contrib = jax.lax.dot_general(      # gv @ oh.T without the
+                    gv, oh, (((1,), (1,)), ((), ())),  # transpose
+                    preferred_element_type=jnp.float32)
+                sl = pl.ds(j * _TBLK, _TBLK)
+                out_ref[:, sl] = out_ref[:, sl] + contrib
+                return 0
 
-        jax.lax.fori_loop(b_ref[0, 0, 0], b_ref[0, 0, 1] + 1, body, 0)
+            jax.lax.fori_loop(b_ref[0, r, 0], b_ref[0, r, 1] + 1, body, 0)
 
     out = pl.pallas_call(
         kernel,
-        grid=(nblk,),
+        grid=(nblk // _SEG_R,),
         in_specs=[
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, _SEG_BLK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, _SEG_BLK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, c, _SEG_BLK), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, tpad), lambda i: (0, 0),
@@ -221,7 +242,13 @@ def _segsum_mm_big(idx, gs, t_rows):
 
 
 def _segsum_mm(idx, gs, t_rows):
-    """sum over rays of one-hot(idx) x gs -> f32[t_rows, C] via Pallas."""
+    """sum over rays of one-hot(idx) x gs -> f32[t_rows, C] via Pallas.
+
+    _SEG_R ray blocks ride each grid step (inner unrolled loop): at 2M
+    rays a 1-block step pays ~6 us of per-step machinery for a ~0.25 us
+    MXU dot — 2,048 steps measured 12.65 ms for a 1,288-row table where
+    the matmuls themselves are ~0.5 ms (round-5 replay probe).  Batching
+    8 blocks per step amortizes the fixed cost 8x."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -229,7 +256,8 @@ def _segsum_mm(idx, gs, t_rows):
 
     n = idx.shape[0]
     c = len(gs)
-    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    step = _SEG_BLK * _SEG_R
+    npad = -(-n // step) * step
     tpad = -(-t_rows // 8) * 8
     g = jnp.stack(gs, axis=1)                       # [n, C]
     if npad != n:
@@ -237,9 +265,9 @@ def _segsum_mm(idx, gs, t_rows):
             [idx, jnp.zeros((npad - n,), idx.dtype)])
         g = jnp.concatenate(
             [g, jnp.zeros((npad - n, c), g.dtype)])  # zero rows: no effect
-    nblk = npad // _SEG_BLK
-    idx3 = idx.reshape(nblk, 1, _SEG_BLK)
-    g3 = g.reshape(nblk, _SEG_BLK, c)
+    nstep = npad // step
+    idx3 = idx.reshape(nstep, _SEG_R, _SEG_BLK)
+    g3 = g.reshape(nstep, _SEG_R, _SEG_BLK, c)
 
     def kernel(idx_ref, g_ref, out_ref, acc_ref):
         i = pl.program_id(0)
@@ -249,9 +277,12 @@ def _segsum_mm(idx, gs, t_rows):
             acc_ref[...] = jnp.zeros((tpad, c), jnp.float32)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (tpad, _SEG_BLK), 0)
-        oh = (rows == idx_ref[0]).astype(jnp.float32)   # [tpad, BLK]
-        acc_ref[...] += jnp.dot(oh, g_ref[0],
+        acc = acc_ref[...]
+        for r in range(_SEG_R):
+            oh = (rows == idx_ref[0, r:r + 1]).astype(jnp.float32)
+            acc = acc + jnp.dot(oh, g_ref[0, r],
                                 preferred_element_type=jnp.float32)
+        acc_ref[...] = acc
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -259,11 +290,11 @@ def _segsum_mm(idx, gs, t_rows):
 
     out = pl.pallas_call(
         kernel,
-        grid=(nblk,),
+        grid=(nstep,),
         in_specs=[
-            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, _SEG_BLK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SEG_BLK, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, _SEG_BLK, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tpad, c), lambda i: (0, 0),
@@ -290,30 +321,34 @@ def _gather_mm(tables, idx):
     n = idx.shape[0]
     c = len(tables)
     t_rows = tables[0].shape[0]
-    npad = -(-n // _SEG_BLK) * _SEG_BLK
+    step = _SEG_BLK * _SEG_R
+    npad = -(-n // step) * step
     tpad = -(-t_rows // 8) * 8
     tabT = jnp.stack([jnp.pad(t, (0, tpad - t_rows)) for t in tables])
     if npad != n:
         idx = jnp.concatenate([idx, jnp.zeros((npad - n,), idx.dtype)])
-    nblk = npad // _SEG_BLK
-    idx3 = idx.reshape(nblk, 1, _SEG_BLK)
+    nstep = npad // step
+    idx3 = idx.reshape(nstep, _SEG_R, _SEG_BLK)
 
     def kernel(tab_ref, idx_ref, out_ref):
+        # _SEG_R blocks per step — same fixed-cost amortization as
+        # _segsum_mm (the one-hot never exceeds [tpad, _SEG_BLK]).
         rows = jax.lax.broadcasted_iota(jnp.int32, (tpad, _SEG_BLK), 0)
-        oh = (rows == idx_ref[0]).astype(jnp.float32)   # [tpad, BLK]
-        out_ref[...] = jnp.dot(tab_ref[...], oh,
-                               preferred_element_type=jnp.float32)
+        for r in range(_SEG_R):
+            oh = (rows == idx_ref[0, r:r + 1]).astype(jnp.float32)
+            out_ref[:, r * _SEG_BLK:(r + 1) * _SEG_BLK] = jnp.dot(
+                tab_ref[...], oh, preferred_element_type=jnp.float32)
 
     out = pl.pallas_call(
         kernel,
-        grid=(nblk,),
+        grid=(nstep,),
         in_specs=[
             pl.BlockSpec((c, tpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _SEG_BLK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _SEG_R, _SEG_BLK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, _SEG_BLK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((c, step), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, npad), jnp.float32),
         interpret=not on_tpu(),
@@ -358,8 +393,8 @@ def _segsum_mm_huge(idx, gs, t_rows):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
-@jax.custom_vjp
-def _lookup_group_mm(tables, idx):
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _lookup_group_mm(tables, idx, n_diff):
     if tables[0].shape[0] > _SEG_MM_BIG_MAX:
         return _gather_mm_huge(tables, idx)
     if tables[0].shape[0] > _SEG_MM_MAX:
@@ -367,11 +402,12 @@ def _lookup_group_mm(tables, idx):
     return _gather_mm(tables, idx)
 
 
-def _lookup_group_mm_fwd(tables, idx):
-    return _lookup_group_mm(tables, idx), (idx, tables[0].shape[0])
+def _lookup_group_mm_fwd(tables, idx, n_diff):
+    return _lookup_group_mm(tables, idx, n_diff), (idx,
+                                                   tables[0].shape[0])
 
 
-def _lookup_group_mm_bwd(res, gs):
+def _lookup_group_mm_bwd(n_diff, res, gs):
     idx, t_rows = res
     if t_rows > _SEG_MM_BIG_MAX:
         seg = _segsum_mm_huge
@@ -379,22 +415,30 @@ def _lookup_group_mm_bwd(res, gs):
         seg = _segsum_mm_big
     else:
         seg = _segsum_mm
-    grads = seg(idx, tuple(gs), t_rows)
-    return tuple(grads[:, k] for k in range(len(gs))), None
+    # Channels at/after n_diff are statically known zero-cotangent (e.g.
+    # tri_mat rides the grouped lookup behind a stop_gradient) — skip
+    # their segment-sum columns entirely (ADVICE r4 item 3) and return
+    # zeros for them.
+    grads = seg(idx, tuple(gs[:n_diff]), t_rows)
+    zero = jnp.zeros((t_rows,), jnp.float32)
+    return (tuple(grads[:, k] for k in range(n_diff))
+            + (zero,) * (len(gs) - n_diff), None)
 
 
 _lookup_group_mm.defvjp(_lookup_group_mm_fwd, _lookup_group_mm_bwd)
 
 
-def _lookup_group(tables, idx):
+def _lookup_group(tables, idx, n_diff=None):
     """Shared-index lookup across several same-length [T] tables; the
     cotangent of all of them comes back from ONE MXU segment-sum
     (_segsum_mm) instead of per-table scatter-adds.  idx must be
-    pre-clipped to [0, T)."""
+    pre-clipped to [0, T).  ``n_diff``: number of LEADING channels that
+    are differentiated; trailing channels skip the backward segsum."""
     t = tables[0].shape[0]
     if t <= _LOOKUP_UNROLL:
         return tuple(_lookup(tab, idx) for tab in tables)
-    return _lookup_group_mm(tuple(tables), idx)
+    return _lookup_group_mm(tuple(tables), idx,
+                            len(tables) if n_diff is None else n_diff)
 
 
 def kajiya_replay_soa(scene, origin, direction, pixel, frame, salt_base,
@@ -450,14 +494,16 @@ def kajiya_replay_soa(scene, origin, direction, pixel, frame, salt_base,
             m = fam == 0
             safe = jnp.clip(idx, 0, scene.num_triangles - 1)
             tri_tabs = tuple(t_v0) + tuple(t_v1) + tuple(t_v2)
-            group_mat = (
-                _LOOKUP_UNROLL < scene.num_triangles <= _SEG_MM_BIG_MAX)
+            group_mat = _LOOKUP_UNROLL < scene.num_triangles
             if group_mat:
                 # Ride tri_mat through the same one-hot matmul (exact for
-                # int values; the dangling f32 cotangent is zero) instead
-                # of a separate big-table gather.
+                # int values) instead of a separate big-table gather; its
+                # statically-zero cotangent column skips the backward
+                # segsum via n_diff (ADVICE r4 item 3).  The chunked
+                # _gather_mm_huge covers >_SEG_MM_BIG_MAX rows too.
                 tri_tabs = tri_tabs + (tri_mat.astype(jnp.float32),)
-            looked = _lookup_group(tri_tabs, safe)
+            looked = _lookup_group(tri_tabs, safe,
+                                   n_diff=9 if group_mat else None)
             (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = looked[:9]
             e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
             e1x, e1y, e1z = v2x - v0x, v2y - v0y, v2z - v0z

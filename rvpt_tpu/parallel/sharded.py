@@ -158,17 +158,17 @@ def render_sample_sharded_fast(scene, camera, settings: RenderSettings,
     quadrant rectangles reassembled with static slice updates, mirroring
     the single-chip fast path (render.py _fast_chw_jit; reference
     compute_pass.comp:134-144)."""
-    from ..render import _split_partition
+    from ..render import _rect_pixels, _split_partition
     frame = jnp.asarray(frame, jnp.uint32)
     modes = set(settings.modes())
 
     if len(modes) > 1:
         parts = _split_partition(cfg, settings)
         out = jnp.zeros((3, cfg.height, cfg.width), jnp.float32)
-        for m, (y0, y1, x0, x1), pix_np in parts:
+        for m, (y0, y1, x0, x1) in parts:
             vals = _sharded_pixels_mode(
                 scene, camera, settings, cfg, frame, mesh,
-                jnp.asarray(pix_np), m, interpret)
+                _rect_pixels(y0, y1, x0, x1, cfg.width), m, interpret)
             rect = vals.reshape(3, y1 - y0, x1 - x0)
             out = jax.lax.dynamic_update_slice(out, rect, (0, y0, x0))
         return out

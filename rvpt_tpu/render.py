@@ -147,7 +147,6 @@ def _megakernel_eligible(scene, settings: RenderSettings) -> bool:
     return scene.num_triangles <= 1024
 
 
-@lru_cache(maxsize=8)
 def _block_grid(width: int, height: int, bw: int = 128, bh: int = 64):
     """Gather-free block tiling: pixel ids for a height-padded film arranged
     so each kernel tile is a compact bw x bh screen block, plus the static
@@ -159,14 +158,20 @@ def _block_grid(width: int, height: int, bw: int = 128, bh: int = 64):
     off-screen rays (<1% waste) and are cropped.  Requires width % bw == 0
     (true for all standard films); otherwise callers fall back to
     _block_order.
-    """
-    import numpy as np
 
+    Computed with traced iota arithmetic, NOT host numpy: a 1080p numpy id
+    grid closed over by a jitted caller bakes into the HLO as a 16.7 MB
+    dense literal — and callers pass pixel + xs + ys, so mesh-path modules
+    carried ~50 MB of literals, which the tunnel's remote compiler chewed
+    on for minutes (round-5 diagnosis: 52.8 MB module, 51.9 MB literals;
+    290-455 s compiles).  As iota ops the whole grid is ~10 HLO lines.
+    """
     if width % bw != 0:
         return None
     hp = -(-height // bh) * bh
-    ys, xs = np.mgrid[0:hp, 0:width]
-    pix = (xs + ys * width).astype(np.uint32)
+    ys = jax.lax.broadcasted_iota(jnp.uint32, (hp, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.uint32, (hp, width), 1)
+    pix = xs + ys * jnp.uint32(width)
     blocked = (
         pix.reshape(hp // bh, bh, width // bw, bw)
         .transpose(0, 2, 1, 3)
@@ -288,10 +293,18 @@ def _split_partition(cfg: FilmConfig, settings: RenderSettings):
     for m, y0, y1, x0, x1 in rects:
         if y1 <= y0 or x1 <= x0:
             continue
-        ys2, xs2 = np.mgrid[y0:y1, x0:x1]
-        pix = (xs2 + ys2 * cfg.width).ravel().astype(np.uint32)
-        parts.append((m, (y0, y1, x0, x1), pix))
+        parts.append((m, (y0, y1, x0, x1)))
     return tuple(parts)
+
+
+def _rect_pixels(y0, y1, x0, x1, width):
+    """Raster pixel ids of a rect as traced iota arithmetic (a closed-over
+    numpy id array would bake into the HLO as a dense literal — the
+    round-5 compile-time diagnosis, see _block_grid)."""
+    ys = jax.lax.broadcasted_iota(jnp.uint32, (y1 - y0, x1 - x0), 0)
+    xs = jax.lax.broadcasted_iota(jnp.uint32, (y1 - y0, x1 - x0), 1)
+    return ((xs + jnp.uint32(x0))
+            + (ys + jnp.uint32(y0)) * jnp.uint32(width)).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("settings", "cfg"))
@@ -316,8 +329,8 @@ def _fast_chw_jit(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         parts = _split_partition(cfg, settings)
         out = jnp.zeros((3, cfg.height, cfg.width), jnp.float32)
         scale = 1.0 / settings.aa
-        for m, (y0, y1, x0, x1), pix_np in parts:
-            sub = jnp.asarray(pix_np)
+        for m, (y0, y1, x0, x1) in parts:
+            sub = _rect_pixels(y0, y1, x0, x1, cfg.width)
             acc = [0.0, 0.0, 0.0]
             for i in range(settings.aa):
                 salt0 = i * AA_STRIDE
@@ -425,8 +438,8 @@ def _bigmesh_chw(scene, camera, settings: RenderSettings, cfg: FilmConfig,
         # static slice updates (same scheme as the small-scene path).
         parts = _split_partition(cfg, settings)
         out = jnp.zeros((3, cfg.height, cfg.width), jnp.float32)
-        for m, (y0, y1, x0, x1), pix_np in parts:
-            sub = jnp.asarray(pix_np)
+        for m, (y0, y1, x0, x1) in parts:
+            sub = _rect_pixels(y0, y1, x0, x1, cfg.width)
             sxs = sub % jnp.uint32(cfg.width)
             sys_ = sub // jnp.uint32(cfg.width)
             acc = [0.0, 0.0, 0.0]

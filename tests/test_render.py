@@ -85,12 +85,15 @@ def test_split_partition_matches_mode_masks():
     st = RenderSettings(top_left_render_mode=3, top_right_render_mode=0,
                         bottom_left_render_mode=1, bottom_right_render_mode=9,
                         split_ratio=(0.3, 0.6))
+    from rvpt_tpu.render import _rect_pixels
+
     parts = _split_partition(cfg, st)
     pixel, xs, ys = _pixel_grid(cfg)
     want = np.asarray(_mode_masks(st, xs, ys, cfg))
     got = np.full_like(want, -1)
-    for m, (y0, y1, x0, x1), pix in parts:
+    for m, (y0, y1, x0, x1) in parts:
         # rect pixel ids are row-major within the rect
+        pix = np.asarray(_rect_pixels(y0, y1, x0, x1, cfg.width))
         ys2, xs2 = np.mgrid[y0:y1, x0:x1]
         assert np.array_equal(pix, (xs2 + ys2 * cfg.width).ravel())
         got[pix] = m
