@@ -116,12 +116,20 @@ def make_fast_kajiya(scene_template, salt_base: int, max_bounces: int,
         if bigmesh:
             # Chunked per-bounce kernel forward; hit records come straight
             # from its collect outputs (fams/idxs already [B, N]).
+            # Single-chunk scenes skip the wavefront sorts: at 1,282 tris
+            # the sorts are runtime-NEUTRAL for the gradient path (walk
+            # penalty ~= sort cost + record unsorts saved) while each
+            # sort instance costs ~240 s of XLA compile (round-5 sort
+            # diagnosis) — sort-free, the mesh-gradient forward compiles
+            # in ~15 s instead of ~250 s, which is the iteration-latency
+            # fix for the inverse-rendering workflow (VERDICT r4 item 3).
             bt = BigMeshTracer(scene)
             (r, g, b), (fams, idxs) = bt.trace(
                 pixel, origin, direction, frame,
                 jnp.asarray(salt, jnp.uint32) + jnp.uint32(salt_base),
                 max_bounces, style=style, interpret=interpret,
                 collect_hits=True,
+                sort_rays=bt.meta["n_chunks"] > 1,
             )
             return jnp.stack([r, g, b], axis=-1), fams, idxs
         pt = PathTracer(scene)

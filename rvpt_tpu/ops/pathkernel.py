@@ -2955,7 +2955,7 @@ class BigMeshTracer:
 
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
               style="reference", interpret=False, collect_hits=False,
-              sort_rays=True, tile_cull=True, sort_bounces=3):
+              sort_rays=True, tile_cull=True, sort_bounces=2):
         """Trace full paths -> (r, g, b) flat [N] radiance.
 
         With ``collect_hits`` also returns (fams, idxs) i32[B, N] per-bounce
@@ -2965,9 +2965,15 @@ class BigMeshTracer:
         re-sort and unsorted with the same slot keys).
 
         ``sort_bounces`` caps how many between-bounce re-sorts run (the
-        first N transitions); the sort network costs 20-30 ms at 1080p per
+        first N transitions); the sort network costs ~30 ms at 1080p per
         bounce, and past the first few transitions the surviving rays are
         already packed (most tiles fully idle) so re-sorting stops paying.
+        Round-5 sweep (mesh-1282, same session, sums bit-identical):
+        sortb 0/1/2/3 = 143.9/121.7/110.0/121.8 ms — 2 is the default.
+        Each sort also costs ~240 s of XLA compile (the 19-operand
+        variadic sort expander, ~8 s/operand measured; sort-free traces
+        compile in 4-14 s), which is why the gradient path disables
+        sorting on single-chunk scenes (ops.fast_grad).
 
         ``tile_cull`` routes each bounce through per-tile chunk work lists
         (_bigmesh_chunk_worklist): only the chunks a tile's ray bundle can
