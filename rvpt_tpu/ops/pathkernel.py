@@ -2955,7 +2955,7 @@ class BigMeshTracer:
 
     def trace(self, pixel, origin, direction, frame, salt_base, max_bounces,
               style="reference", interpret=False, collect_hits=False,
-              sort_rays=True, tile_cull=True, sort_bounces=2):
+              sort_rays=True, tile_cull=True, sort_bounces=None):
         """Trace full paths -> (r, g, b) flat [N] radiance.
 
         With ``collect_hits`` also returns (fams, idxs) i32[B, N] per-bounce
@@ -2968,8 +2968,11 @@ class BigMeshTracer:
         first N transitions); the sort network costs ~30 ms at 1080p per
         bounce, and past the first few transitions the surviving rays are
         already packed (most tiles fully idle) so re-sorting stops paying.
-        Round-5 sweep (mesh-1282, same session, sums bit-identical):
-        sortb 0/1/2/3 = 143.9/121.7/110.0/121.8 ms — 2 is the default.
+        Round-5 sweeps (same session, sums bit-identical): mesh-1282
+        sortb 0/1/2/3 = 143.9/121.7/110.0/121.8 ms; ico5 sortb 2/3 =
+        397.0/360.8 — so the None default resolves to 2 on single-chunk
+        scenes and 3 beyond (the 3rd re-sort pays only once the chunk
+        walk is deep enough).
         Each sort also costs ~240 s of XLA compile (the 19-operand
         variadic sort expander, ~8 s/operand measured; sort-free traces
         compile in 4-14 s), which is why the gradient path disables
@@ -2996,6 +2999,8 @@ class BigMeshTracer:
         )
         frame = jnp.asarray(frame, jnp.uint32)
         nb = int(max_bounces)
+        if sort_bounces is None:
+            sort_bounces = 3 if self.meta["n_chunks"] > 1 else 2
         shape = pix.shape
         total = pix.size
         # slot = position in the caller's ray order; rides the sorts so the
