@@ -29,8 +29,8 @@ def main():
     compile_cache.enable()
     if chunk_t:
         pk.BIG_CHUNK_T = chunk_t
-        pk.BIG_CHUNK_CLU = chunk_t // pk.CULL_K
-        pk.BIG_CHUNK_SUP = max(1, chunk_t // pk.CULL_K // pk.CULL_G)
+        pk.BIG_CHUNK_CLU = chunk_t // pk.BIG_CULL_K
+        pk.BIG_CHUNK_SUP = max(1, chunk_t // pk.BIG_CULL_K // pk.CULL_G)
 
     cfg = FilmConfig(width=1920, height=1080)
     scene, cam = builtin.mesh_demo(subdiv=subdiv, aspect=cfg.aspect)

@@ -87,10 +87,10 @@ def main():
         if a.startswith("--cullk="):
             from rvpt_tpu.ops import pathkernel as pk
 
-            pk.CULL_K = int(a.split("=")[1])
-            pk.BIG_CHUNK_CLU = pk.BIG_CHUNK_T // pk.CULL_K
+            pk.BIG_CULL_K = int(a.split("=")[1])
+            pk.BIG_CHUNK_CLU = pk.BIG_CHUNK_T // pk.BIG_CULL_K
             pk.BIG_CHUNK_SUP = pk.BIG_CHUNK_CLU // pk.CULL_G
-            print(f"CULL_K={pk.CULL_K}")
+            print(f"BIG_CULL_K={pk.BIG_CULL_K}")
         # A/B lever: bigger chunks halve the (tiles x chunks) grid floor
         # and the work-list cost, at coarser tile-cull granularity and a
         # 2x VMEM block (BIG_CHUNK_T=8192 -> 4 MB x2 buffers).
@@ -98,7 +98,7 @@ def main():
             from rvpt_tpu.ops import pathkernel as pk
 
             pk.BIG_CHUNK_T = int(a.split("=")[1])
-            pk.BIG_CHUNK_CLU = pk.BIG_CHUNK_T // pk.CULL_K
+            pk.BIG_CHUNK_CLU = pk.BIG_CHUNK_T // pk.BIG_CULL_K
             pk.BIG_CHUNK_SUP = pk.BIG_CHUNK_CLU // pk.CULL_G
             print(f"BIG_CHUNK_T={pk.BIG_CHUNK_T}")
         if a.startswith("--sortb="):

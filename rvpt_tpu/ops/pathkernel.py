@@ -471,7 +471,8 @@ def _culled_tris(cull, meta, ox, oy, oz, dx, dy, dz, mint, live,
 
 def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
                       live, scratch, carry, tri_base=0,
-                      n_sup_dyn=None, n_clu_dyn=None, subs=1):
+                      n_sup_dyn=None, n_clu_dyn=None, subs=1,
+                      k_tris=None):
     """Cluster-culled closest-hit with a ROW-SLICED triangle fold.
 
     Same listing phase as _culled_tris (SMEM bounds, per-lane slab tests,
@@ -575,7 +576,7 @@ def _culled_tris_rows(bounds, tri_ref, meta, ox, oy, oz, dx, dy, dz, mint,
         lambda: jnp.int32(0),
     )
 
-    K = CULL_K
+    K = CULL_K if k_tris is None else k_tris
 
     # Per-sub-block ray views: the fold and its t_best re-prune run on
     # [S, lanes/subs] lane slices (one native vreg at subs=BIG_L//BIG_SUB),
@@ -1883,8 +1884,15 @@ def camera_params(cam, cfg) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 BIG_CHUNK_T = 4096                       # triangles streamed per chunk step
-BIG_CHUNK_CLU = BIG_CHUNK_T // CULL_K    # clusters per chunk
-BIG_CHUNK_SUP = BIG_CHUNK_CLU // CULL_G  # supergroups per chunk
+# Chunked-path cluster width.  32 measured faster than the SMEM path's 16
+# at ico5 1080p x 8 (339.9 vs 355.9 ms same-session, bit-identical): the
+# walk is bound by per-cluster-visit FIXED cost (round-5 diagnosis), so
+# fewer, fatter clusters win even though their looser boxes list more
+# triangles.  The SMEM culled path keeps CULL_K=16 (its scalar fold pays
+# per TRIANGLE, not per cluster).
+BIG_CULL_K = 32
+BIG_CHUNK_CLU = BIG_CHUNK_T // BIG_CULL_K  # clusters per chunk
+BIG_CHUNK_SUP = BIG_CHUNK_CLU // CULL_G    # supergroups per chunk
 BIG_BOUND_PAD = 1024  # bound-table strides (XLA tiles 1D arrays at T(1024))
 
 
@@ -1939,8 +1947,8 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     t = scene.num_triangles
     if t < 1:
         raise ValueError("chunked path needs triangles")
-    tp = -(-t // CULL_K) * CULL_K
-    n_clu = tp // CULL_K
+    tp = -(-t // BIG_CULL_K) * BIG_CULL_K
+    n_clu = tp // BIG_CULL_K
     n_chunks = -(-n_clu // BIG_CHUNK_CLU)
     clu_pad = n_chunks * BIG_CHUNK_CLU - n_clu
     tri_pad = n_chunks * BIG_CHUNK_T - tp
@@ -1969,8 +1977,8 @@ def pack_cull_chunked(scene: Scene) -> tuple[tuple, dict]:
     pad_tri = ((0, tp - t), (0, 0))
     bmin = jnp.pad(bmin, pad_tri, mode="edge")
     bmax = jnp.pad(bmax, pad_tri, mode="edge")
-    cb0 = jnp.min(bmin.reshape(n_clu, CULL_K, 3), axis=1) - eps
-    cb1 = jnp.max(bmax.reshape(n_clu, CULL_K, 3), axis=1) + eps
+    cb0 = jnp.min(bmin.reshape(n_clu, BIG_CULL_K, 3), axis=1) - eps
+    cb1 = jnp.max(bmax.reshape(n_clu, BIG_CULL_K, 3), axis=1) + eps
     # Padded clusters: inverted boxes — identity elements for the min/max
     # bound folds, but NOT slab-proof (see docstring); never tested because
     # every listing loop is clamped to the real per-chunk counts below.
@@ -2128,6 +2136,7 @@ def make_bigmesh_kernel(meta, mint, *, style, is_last, collect=False,
                 active, (hitlist,), carry,
                 tri_base=wl_ref[t, c] * BIG_CHUNK_T,
                 n_sup_dyn=cnts_ref[0], n_clu_dyn=cnts_ref[1],
+                k_tris=BIG_CULL_K,
             )
             for j in range(5):
                 winf[j] = carry[j]
@@ -2534,6 +2543,7 @@ def make_bigmesh_dma_kernel(meta, mint, *, style, is_last, collect=False,
                     n_sup_dyn=cnts_ref[c * 1024],
                     n_clu_dyn=cnts_ref[c * 1024 + 1],
                     subs=(BIG_L // BIG_SUB) if BIG_SUBFOLD else 1,
+                    k_tris=BIG_CULL_K,
                 )
 
                 # The walk reads bnd_smem throughout (single buffer): the
@@ -2859,7 +2869,7 @@ def make_bigmesh_hart_kernel(meta):
                 near = jnp.any(live & (bd2 < d2min))
 
                 def fold(d2min):
-                    blk = tri_ref[pl.ds(cc * CULL_K, CULL_K), :]
+                    blk = tri_ref[pl.ds(cc * BIG_CULL_K, BIG_CULL_K), :]
 
                     def col(k):
                         return blk[:, k:k + 1][:, :, None]

@@ -77,9 +77,10 @@ def test_bench_bigmesh_display(kernel_backend, monkeypatch):
     from rvpt_tpu.render import render_sample_fast_chw
 
     monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
-    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
+    monkeypatch.setattr(pk, "BIG_CULL_K", 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // 16)
     monkeypatch.setattr(pk, "BIG_CHUNK_SUP",
-                        max(1024 // pk.CULL_K // pk.CULL_G, 1))
+                        max(1024 // 16 // pk.CULL_G, 1))
     monkeypatch.setattr(pk, "CULL_MAX_TRIS", 256)
     scene, cam = builtin.mesh_demo(subdiv=3, aspect=2.0)
     assert pk.is_bigmesh(scene)

@@ -26,8 +26,11 @@ def small_chunks(monkeypatch):
     from rvpt_tpu.ops import pathkernel as pk
 
     monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
-    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
-    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    # K=16 so a 1024-tri chunk still holds one full 64-cluster supergroup
+    # (production BIG_CULL_K=32 would leave only 32 clusters per chunk).
+    monkeypatch.setattr(pk, "BIG_CULL_K", 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // 16 // pk.CULL_G)
 
 
 def _rays(cfg, cam, n_seed=0):

@@ -173,8 +173,12 @@ def test_bigmesh_tracer_matches_xla(monkeypatch):
     from rvpt_tpu.ops import pathkernel as pk
 
     monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
-    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
-    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    # 1024-tri chunks need K=16 so a chunk still holds >= one full
+    # 64-cluster supergroup (at the production BIG_CULL_K=32 a 1024-tri
+    # chunk has only 32 clusters).
+    monkeypatch.setattr(pk, "BIG_CULL_K", 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // 16 // pk.CULL_G)
 
     rng_np = np.random.default_rng(11)
     n_tri = 1500  # ceil(1500/16)=94 clusters -> 2 chunks of 64 at CHUNK=1024
@@ -212,8 +216,12 @@ def test_bigmesh_display_path_matches_xla(monkeypatch):
     from rvpt_tpu.render import render_sample_chw, render_sample_fast_chw
 
     monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
-    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
-    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    # 1024-tri chunks need K=16 so a chunk still holds >= one full
+    # 64-cluster supergroup (at the production BIG_CULL_K=32 a 1024-tri
+    # chunk has only 32 clusters).
+    monkeypatch.setattr(pk, "BIG_CULL_K", 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // 16 // pk.CULL_G)
     monkeypatch.setattr(pk, "CULL_MAX_TRIS", 256)
 
     rng_np = np.random.default_rng(13)
@@ -403,8 +411,12 @@ def test_bigmesh_tile_cull_matches_full_walk(monkeypatch):
     from rvpt_tpu.ops import pathkernel as pk
 
     monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
-    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
-    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    # 1024-tri chunks need K=16 so a chunk still holds >= one full
+    # 64-cluster supergroup (at the production BIG_CULL_K=32 a 1024-tri
+    # chunk has only 32 clusters).
+    monkeypatch.setattr(pk, "BIG_CULL_K", 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // 16 // pk.CULL_G)
 
     rng_np = np.random.default_rng(23)
     n_tri = 2100  # 3 chunks at BIG_CHUNK_T=1024
@@ -460,8 +472,12 @@ def test_bigmesh_sorted_matches_unsorted(monkeypatch):
     from rvpt_tpu.ops import pathkernel as pk
 
     monkeypatch.setattr(pk, "BIG_CHUNK_T", 1024)
-    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // pk.CULL_K)
-    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // pk.CULL_K // pk.CULL_G)
+    # 1024-tri chunks need K=16 so a chunk still holds >= one full
+    # 64-cluster supergroup (at the production BIG_CULL_K=32 a 1024-tri
+    # chunk has only 32 clusters).
+    monkeypatch.setattr(pk, "BIG_CULL_K", 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_CLU", 1024 // 16)
+    monkeypatch.setattr(pk, "BIG_CHUNK_SUP", 1024 // 16 // pk.CULL_G)
 
     rng_np = np.random.default_rng(17)
     n_tri = 1500
